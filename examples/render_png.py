@@ -1,0 +1,54 @@
+"""Offline render example — the examples/png analog (examples/png/main.rs).
+
+Renders the Cornell box (or the reflection room with --scene room) through
+the full pipeline with 16 warm-up frames and writes a PNG.
+
+Usage: python examples/render_png.py [--scene cornell|room] [--size WxH]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from sunray_tpu.camera import Camera
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.renderer import Renderer
+from sunray_tpu.scene import cornell_box, reflection_room
+from sunray_tpu.utils.png import write_png
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell", choices=["cornell", "room"])
+    ap.add_argument("--size", default="800x600")
+    ap.add_argument("--out", default="out/render.png")
+    ap.add_argument("--lighting", default="restir", choices=["restir", "nee", "brdf"])
+    ap.add_argument("--warmup", type=int, default=16)
+    args = ap.parse_args()
+
+    w, h = (int(x) for x in args.size.split("x"))
+    cfg = RenderConfig(width=w, height=h, lighting=args.lighting)
+
+    if args.scene == "cornell":
+        scene = cornell_box()
+        camera = Camera(position=(1.0, 1.0, 4.4), target=(1.0, 1.0, 0.0), fov_y=50.0)
+    else:
+        scene = reflection_room()
+        camera = Camera(position=(2.0, 2.2, 9.0), target=(2.0, 1.6, 0.0), fov_y=50.0)
+
+    r = Renderer(cfg, scene)
+    t0 = time.time()
+    img = r.render_to_host_memory(camera, warmup=args.warmup)
+    dt = time.time() - t0
+    print(f"rendered {w}x{h} ({args.warmup}+1 frames) in {dt:.2f}s", file=sys.stderr)
+
+    import os
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    write_png(args.out, img)
+    print(f"You can find your render here: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Configuration tree for the renderer.
+
+Replaces the reference's env-flag + compile-time-constant config surface
+(reference: src/lib.rs:42-67, src/utils.rs:5-13, SURVEY.md section 5.6) with
+an explicit dataclass so every knob is visible, hashable (jit-static), and
+serializable.
+
+Default values mirror the reference's shader constants:
+  - bounces=10, shadow_bounces=5  (shaders/ray_gen_final.slang:41-42)
+  - virtual_bounces=20            (shaders/ray_gen_ris.slang:69)
+  - ris_candidates=16             (shaders/ray_gen_ris.slang:187)
+  - di spatial 5 / 30px           (shaders/ray_gen_final.slang:160-161)
+  - gi spatial 3 / 20px           (shaders/ray_gen_final.slang:228-229)
+  - accumulation_factor=0.14      (shaders/temporal_accumulation.slang:30)
+  - denoise_passes=4              (src/lib.rs:42)
+  - exposure=1.0                  (src/lib.rs:44)
+  - gi_radiance_clamp=5.0         (shaders/ray_gen_ris.slang:394)
+  - warmup_frames=16              (src/lib.rs:1927)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (jit-compile-time) render settings.
+
+    Frozen + hashable so it can be closed over by jitted functions; changing
+    any field triggers a recompile, mirroring how the reference's pipeline
+    cache keys on shader bytes (render_graph/graph.rs:53-120).
+    """
+
+    width: int = 1600
+    height: int = 1200
+
+    # Path tracing (ray_gen_final.slang:40-42)
+    samples: int = 1
+    bounces: int = 10
+    virtual_bounces: int = 20          # mirror/glass passthrough rounds (RIS pass)
+    russian_roulette_start: int = 2    # RR applies for bounce > 2 (ray_gen_final.slang:422)
+
+    # Lighting mode:
+    #   "restir" — full ReSTIR DI + GI (reference default path)
+    #   "nee"    — plain next-event estimation every rough bounce
+    #              (the reference's ray_gen_final.slang:328-382 branch)
+    #   "brdf"   — BRDF sampling only (emission pickup), for bring-up/oracles
+    lighting: str = "restir"
+
+    # ReSTIR DI (ray_gen_ris.slang / ray_gen_final.slang)
+    ris_candidates: int = 16
+    di_temporal_m_clamp: float = 10.0
+    di_temporal_w_clamp: float = 20.0
+    di_spatial_samples: int = 5
+    di_spatial_radius: float = 30.0
+    di_spatial_w_clamp: float = 50.0
+
+    # ReSTIR GI (Ouyang 2021 variant, constants from the reference shaders)
+    gi_temporal_m_clamp: float = 12.0
+    gi_temporal_w_clamp: float = 10.0
+    gi_spatial_samples: int = 3
+    gi_spatial_radius: float = 20.0
+    gi_spatial_w_clamp: float = 20.0
+    gi_radiance_clamp: float = 5.0
+    gi_jacobian_clamp: float = 10.0
+
+    # Post pipeline
+    enable_taa: bool = True
+    accumulation_factor: float = 0.14
+    denoise_passes: int = 4            # a-trous, step widths 1,2,4,8
+    exposure: float = 1.0
+    tonemap: str = "aces"              # "aces" | "none"
+    gamma: float = 2.2
+
+    # Contribution clamps (ray_gen_final.slang:378,431)
+    nee_contrib_clamp: float = 5.0
+    radiance_clamp: float = 10.0
+
+    # Offline-render warm-up (lib.rs:1927): ReSTIR temporal reuse + TAA need
+    # history before the output is meaningful.
+    warmup_frames: int = 16
+
+    # Tracing backend: "auto" picks bvh above this triangle count.
+    tracer: str = "auto"               # "auto" | "brute" | "bvh"
+    brute_force_max_tris: int = 512
+    bvh_leaf_size: int = 4
+    trace_block_rays: int = 512        # rays per Pallas trace block
+
+    # Differentiability: when True the frame function avoids non-differentiable
+    # packing in hot paths and stops gradients only through discrete choices.
+    differentiable: bool = False
+
+    # Numerics
+    dtype: str = "float32"
+
+    def with_size(self, width: int, height: int) -> "RenderConfig":
+        return dataclasses.replace(self, width=width, height=height)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def shadow_bounces(self) -> int:
+        # SHADOW_BOUNCES = BOUNCES / 2 (ray_gen_final.slang:42)
+        return self.bounces // 2
+
+
+# A small config for tests / CPU smoke runs.
+TEST_CONFIG = RenderConfig(
+    width=64,
+    height=48,
+    bounces=4,
+    virtual_bounces=4,
+    ris_candidates=4,
+    di_spatial_samples=2,
+    gi_spatial_samples=1,
+    denoise_passes=2,
+    warmup_frames=2,
+)

@@ -1,0 +1,456 @@
+"""Pass 2 — path trace with ReSTIR DI/GI spatial reuse or plain NEE.
+
+Wavefront port of shaders/ray_gen_final.slang:11-436, restructured into
+stages (the TPU formulation of the reference's divergent per-thread loop):
+
+  phase A: bounce walk. One closest-hit trace per round over the full batch,
+           masked lanes. A lane leaves the walk on miss, emission brightness
+           > 1, throughput death, Russian roulette, or on reaching its first
+           rough hit within SHADOW_BOUNCES with ReSTIR enabled — in the
+           reference that last case runs spatial reuse inline and `break`s
+           (ray_gen_final.slang:136-327); here the lane's surface state is
+           frozen and handled in phase B so the expensive reuse code runs
+           once per frame instead of once per bounce round.
+  phase B: ReSTIR DI spatial reuse (5 neighbors / 30 px disc + 1 winner
+           shadow ray) and GI spatial reuse (3 neighbors / 20 px disc, one
+           visibility ray each + 1 final) over all frozen lanes at once.
+
+In "nee" lighting mode phase A does per-bounce next-event estimation
+instead (the ray_gen_final.slang:328-382 branch) and phase B is skipped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sunray_tpu.ops.linalg import einsum32
+
+from sunray_tpu.camera import generate_rays
+from sunray_tpu.ops import rng as rng_mod
+from sunray_tpu.ops.brdf import (
+    PI,
+    cosine_hemisphere,
+    dot,
+    gi_target_pdf,
+    reflect,
+    sample_ggx_vndf,
+    smith_g1_ggx,
+)
+from sunray_tpu.render import restir
+from sunray_tpu.render.gbuffer import transmissive_bounce
+from sunray_tpu.render.shade import shade_hits
+from sunray_tpu.render.trace import trace_closest, trace_occluded
+from sunray_tpu.utils.bluenoise import noise_texture, NOISE_SIZE, _A1, _A2
+
+
+def _sel3(m, a, b):
+    return jnp.where(m[:, None], a, b)
+
+
+def _blue_noise_rands(cfg, frame_count):
+    """Per-pixel first-bounce random pair (ray_gen_final.slang:44-50,393-399)."""
+    noise = jnp.asarray(noise_texture())
+    w, h = cfg.width, cfg.height
+    xs = jnp.arange(w) % NOISE_SIZE
+    ys = jnp.arange(h) % NOISE_SIZE
+    xx, yy = jnp.meshgrid(xs, ys)
+    bn1 = noise[yy, xx].reshape(-1)
+    xx2, yy2 = jnp.meshgrid((jnp.arange(w) + 47) % NOISE_SIZE,
+                            (jnp.arange(h) + 71) % NOISE_SIZE)
+    bn2 = noise[yy2, xx2].reshape(-1)
+    fc = (frame_count % 1024).astype(jnp.float32)
+    r1 = jnp.mod(bn1 + fc * _A1, 1.0)
+    r2 = jnp.mod(bn2 + fc * _A2, 1.0)
+    return r1, r2
+
+
+def final_pass(scene, cfg, tracer, lights, mats, gbuf,
+               r_di: restir.ReservoirDI, r_gi: restir.ReservoirGI,
+               frame_count):
+    """-> raw HDR color (P, 3)."""
+    w, h = cfg.width, cfg.height
+    p = w * h
+    num_lights = lights.num if lights is not None else 0
+    use_restir = cfg.lighting == "restir" and num_lights > 0
+    use_nee = cfg.lighting == "nee" and num_lights > 0
+
+    origins, dirs = generate_rays(mats, w, h)
+    origins = origins.reshape(p, 3)
+    dirs = dirs.reshape(p, 3)
+    cam_origin = origins[0]
+
+    pix = jnp.arange(p, dtype=jnp.uint32)
+    seed = rng_mod.init_seed(pix, frame_count.astype(jnp.uint32))
+    bn_r1, bn_r2 = _blue_noise_rands(cfg, frame_count)
+
+    z3 = jnp.zeros((p, 3), jnp.float32)
+    z = jnp.zeros((p,), jnp.float32)
+    init = dict(
+        i=jnp.int32(0),
+        seed=seed,
+        ray_o=origins,
+        ray_d=dirs,
+        throughput=jnp.ones((p, 3), jnp.float32),
+        radiance=z3,
+        active=jnp.ones((p,), bool),
+        prev_did_nee=jnp.zeros((p,), bool),
+        # frozen first-rough-hit state for phase B
+        pending=jnp.zeros((p,), bool),
+        f_pos=z3, f_normal=z3, f_albedo=z3,
+        f_rough=z, f_metal=z, f_view=z3, f_throughput=z3,
+    )
+
+    def cond(c):
+        return (c["i"] < cfg.bounces) & jnp.any(c["active"])
+
+    def body(c):
+        i = c["i"]
+        hit = trace_closest(tracer, c["ray_o"], c["ray_d"])
+        surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
+        live = c["active"] & surf.valid
+        roughness = jnp.maximum(surf.roughness, 0.01)
+        metallic = jnp.clip(surf.metallic, 0.0, 1.0)
+
+        # Emission pickup unless the previous bounce already did NEE
+        # (ray_gen_final.slang:99-104).
+        add_em = live & ~c["prev_did_nee"]
+        radiance = c["radiance"] + jnp.where(
+            add_em[:, None], surf.emission * c["throughput"], 0.0
+        )
+        brightness = jnp.max(surf.emission, axis=-1)
+        stop_bright = live & (brightness > 1.0)
+        live2 = live & ~stop_bright
+
+        # Transmissive branch (ray_gen_final.slang:106-133).
+        trans = live2 & (surf.transmission > 0.5)
+        seed2, d_t, o_t, refracted, inside = transmissive_bounce(
+            c["seed"], c["ray_d"], surf.normal, surf.ior, surf.pos
+        )
+        absorb = jnp.exp(-(1.0 - surf.albedo) * surf.dist[:, None] * 5.0)
+        tp_refr = jnp.where(inside[:, None], absorb, surf.albedo)
+        tp_trans = jnp.where(refracted[:, None], tp_refr, 1.0)
+        throughput = jnp.where(
+            trans[:, None], c["throughput"] * tp_trans, c["throughput"]
+        )
+
+        surface = live2 & ~trans
+        rough = surface & (roughness > 0.2)
+
+        # ReSTIR trigger: freeze and leave the walk.
+        if use_restir:
+            trigger = rough & ~c["pending"] & (i < cfg.shadow_bounces)
+        else:
+            trigger = jnp.zeros((p,), bool)
+
+        # Plain NEE branch (ray_gen_final.slang:328-382).
+        prev_did_nee = jnp.zeros((p,), bool)
+        if use_nee:
+            nee_lane = rough & (i < cfg.shadow_bounces)
+            seed2, u_pick = rng_mod.rnd(seed2)
+            lidx = jnp.minimum(
+                (u_pick * num_lights).astype(jnp.int32), num_lights - 1
+            )
+            seed2, n1, n2 = rng_mod.rnd2(seed2)
+            lpos, lnrm, lem, larea = lights.sample_point(lidx, n1, n2)
+            sdir = lpos - surf.pos
+            ldist = jnp.maximum(jnp.linalg.norm(sdir, axis=-1), 1e-6)
+            sdir = sdir / ldist[:, None]
+            cos_l = jnp.maximum(dot(lnrm, -sdir), 0.0)
+            cos_s = jnp.maximum(dot(surf.normal, sdir), 0.0)
+            cand = nee_lane & (cos_l > 0.0) & (cos_s > 0.0)
+            occ = trace_occluded(tracer, surf.pos, sdir, ldist)
+            vis = cand & ~occ
+            pdf_sa = (ldist * ldist) / jnp.maximum(
+                cos_l * larea * num_lights, 1e-4
+            )
+            contrib = (
+                lem * surf.albedo * throughput * cos_s[:, None]
+                / (pdf_sa[:, None] * PI)
+            )
+            contrib = jnp.minimum(contrib, cfg.nee_contrib_clamp)
+            radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
+            prev_did_nee = cand
+
+        # BRDF bounce (ray_gen_final.slang:385-427) for surface lanes that
+        # didn't trigger restir.
+        brdf_lane = surface & ~trigger
+        n = surf.normal
+        v_view = -c["ray_d"]
+        f0 = 0.04 * (1.0 - metallic[:, None]) + surf.albedo * metallic[:, None]
+        cos_nv = jnp.maximum(dot(n, v_view), 0.0)
+        fres = f0 + (1.0 - f0) * jnp.clip(1.0 - cos_nv, 0.0, 1.0)[:, None] ** 5
+        p_spec = jnp.clip(jnp.max(fres, axis=-1), 0.05, 1.0)
+
+        seed2, ur1, ur2 = rng_mod.rnd2(seed2)
+        r1 = jnp.where(i == 0, bn_r1, ur1)
+        r2 = jnp.where(i == 0, bn_r2, ur2)
+
+        seed2, u_lobe = rng_mod.rnd(seed2)
+        pick_spec = u_lobe < p_spec
+        hvec = sample_ggx_vndf(n, v_view, roughness, r1, r2)
+        d_spec = reflect(-v_view, hvec)
+        spec_ok = dot(n, d_spec) > 0.0
+        d_diff = cosine_hemisphere(n, r1, r2)
+
+        ndl_b = jnp.maximum(dot(n, d_spec), 0.001)
+        alpha_b = roughness * roughness
+        g1 = smith_g1_ggx(ndl_b, alpha_b)
+        tp_spec = fres * (g1 / p_spec)[:, None]
+        tp_diff = (
+            surf.albedo * (1.0 - metallic[:, None]) * (1.0 - fres)
+            / (1.0 - p_spec)[:, None]
+        )
+
+        use_spec = pick_spec & spec_ok
+        new_d = _sel3(use_spec, d_spec, d_diff)
+        tp_mult = jnp.where(use_spec[:, None], tp_spec, tp_diff)
+        throughput = jnp.where(
+            brdf_lane[:, None], throughput * tp_mult, throughput
+        )
+        pmax = jnp.max(throughput, axis=-1)
+        die = brdf_lane & (pmax < 0.001)
+
+        seed2, u_rr = rng_mod.rnd(seed2)
+        rr_on = brdf_lane & (i > cfg.russian_roulette_start)
+        rr_die = rr_on & (u_rr > pmax)
+        rr_scale = jnp.where(
+            (rr_on & ~rr_die)[:, None], 1.0 / jnp.maximum(pmax, 1e-6)[:, None], 1.0
+        )
+        throughput = throughput * rr_scale
+
+        ray_d = _sel3(trans, d_t, _sel3(brdf_lane, new_d, c["ray_d"]))
+        ray_o = _sel3(
+            trans, o_t,
+            _sel3(brdf_lane, surf.pos + surf.normal * 1e-3, c["ray_o"]),
+        )
+
+        still = (
+            c["active"] & surf.valid & ~stop_bright & ~trigger & ~die & ~rr_die
+        )
+        frz = trigger
+        return dict(
+            i=i + 1,
+            seed=seed2,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            throughput=throughput,
+            radiance=radiance,
+            active=still,
+            prev_did_nee=prev_did_nee,
+            pending=c["pending"] | trigger,
+            f_pos=_sel3(frz, surf.pos, c["f_pos"]),
+            f_normal=_sel3(frz, surf.normal, c["f_normal"]),
+            f_albedo=_sel3(frz, surf.albedo, c["f_albedo"]),
+            f_rough=jnp.where(frz, roughness, c["f_rough"]),
+            f_metal=jnp.where(frz, metallic, c["f_metal"]),
+            f_view=_sel3(frz, -c["ray_d"], c["f_view"]),
+            f_throughput=_sel3(frz, throughput, c["f_throughput"]),
+        )
+
+    c = jax.lax.while_loop(cond, body, init)
+    radiance = c["radiance"]
+    seed = c["seed"]
+
+    if use_restir:
+        radiance = radiance + _spatial_reuse(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
+            seed, c, cam_origin,
+        )
+
+    # total_radiance = min(radiance, 10) (ray_gen_final.slang:430-431).
+    return jnp.minimum(radiance, cfg.radiance_clamp)
+
+
+def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
+                   seed, c, cam_origin):
+    """Phase B: ReSTIR DI + GI spatial reuse at frozen first-rough hits
+    (ray_gen_final.slang:136-327). Returns radiance to add, (P, 3)."""
+    w, h = cfg.width, cfg.height
+    p = w * h
+    num_lights = lights.num
+
+    pending = c["pending"]
+    pos = c["f_pos"]
+    normal = c["f_normal"]
+    albedo = c["f_albedo"]
+    rough = c["f_rough"]
+    metal = c["f_metal"]
+    v_view = c["f_view"]
+    throughput = c["f_throughput"]
+
+    pix = jnp.arange(p, dtype=jnp.int32)
+    px = pix % w
+    py = pix // w
+    radiance = jnp.zeros((p, 3), jnp.float32)
+
+    gnormal = gbuf.normal
+    gdepth = gbuf.depth
+    current_depth = jnp.linalg.norm(pos - cam_origin, axis=-1)
+
+    def neighbor_ok(nx, ny):
+        inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
+        ni = jnp.clip(ny * w + nx, 0, p - 1)
+        nn = gnormal[ni]
+        nd = gdepth[ni]
+        ok = (
+            inb
+            & (dot(normal, nn) >= 0.9)
+            & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
+        )
+        return ni, ok
+
+    # ---- DI spatial (ray_gen_final.slang:139-222) ----
+    spatial = restir.ReservoirDI.empty(p)
+    center = r_di
+    c_ok = pending & (center.W > 0.0) & (center.light_idx < num_lights)
+    center = center.replace(
+        light_idx=jnp.minimum(center.light_idx, num_lights - 1)
+    )
+    p_hat_c, _ = lights.eval_p_hat(
+        center.light_idx, center.light_pos, center.light_normal,
+        pos, normal, v_view, albedo, rough, metal,
+    )
+    seed, u_m = rng_mod.rnd(seed)
+    spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
+
+    def di_body(s, carry):
+        seed, spatial = carry
+        seed, ua, ur = rng_mod.rnd2(seed)
+        angle = ua * 2.0 * PI
+        radius = jnp.sqrt(ur) * cfg.di_spatial_radius
+        nx = px + (jnp.cos(angle) * radius).astype(jnp.int32)
+        ny = py + (jnp.sin(angle) * radius).astype(jnp.int32)
+        ni, ok = neighbor_ok(nx, ny)
+        nr = restir.gather_reservoir_di(r_di, ni)
+        nr = nr.replace(
+            W=jnp.minimum(nr.W, cfg.di_temporal_w_clamp),
+            M=jnp.minimum(nr.M, cfg.di_temporal_m_clamp),
+        )
+        use = pending & ok & (nr.W > 0.0) & (nr.light_idx < num_lights)
+        nr = nr.replace(light_idx=jnp.minimum(nr.light_idx, num_lights - 1))
+        p_hat_n, _ = lights.eval_p_hat(
+            nr.light_idx, nr.light_pos, nr.light_normal,
+            pos, normal, v_view, albedo, rough, metal,
+        )
+        seed, u = rng_mod.rnd(seed)
+        spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
+        return seed, spatial
+
+    seed, spatial = jax.lax.fori_loop(
+        0, cfg.di_spatial_samples, di_body, (seed, spatial)
+    )
+
+    has = pending & (spatial.w_sum > 0.0)
+    p_hat_w, f_y_w = lights.eval_p_hat(
+        spatial.light_idx, spatial.light_pos, spatial.light_normal,
+        pos, normal, v_view, albedo, rough, metal,
+    )
+    w_spatial = spatial.w_sum / jnp.maximum(spatial.M * p_hat_w, 1e-3)
+    w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
+
+    sdir = spatial.light_pos - pos
+    sdist = jnp.maximum(jnp.linalg.norm(sdir, axis=-1), 1e-4)
+    sdir = sdir / sdist[:, None]
+    facing = dot(normal, sdir) > 0.0
+    occ = trace_occluded(tracer, pos, sdir, sdist)
+    lit = has & facing & ~occ
+    radiance = radiance + jnp.where(
+        lit[:, None], f_y_w * throughput * w_spatial[:, None], 0.0
+    )
+
+    # ---- GI spatial (ray_gen_final.slang:224-327) ----
+    combined = restir.gather_reservoir_gi(r_gi, pix)  # own reservoir
+
+    view_inverse = mats["view_inverse"]
+    proj_inverse = mats["proj_inverse"]
+
+    def gi_body(s, carry):
+        seed, combined = carry
+        seed, ua, ur = rng_mod.rnd2(seed)
+        angle = ua * 2.0 * PI
+        radius = jnp.sqrt(ur) * cfg.gi_spatial_radius
+        dx = (jnp.cos(angle) * radius).astype(jnp.int32)
+        dy = (jnp.sin(angle) * radius).astype(jnp.int32)
+        nx = px + dx
+        ny = py + dy
+        ni, ok = neighbor_ok(nx, ny)
+        ok = ok & ~((dx == 0) & (dy == 0))
+        nr = restir.gather_reservoir_gi(r_gi, ni)
+        ok = ok & (nr.W > 0.0)
+        nr = nr.replace(
+            W=jnp.minimum(nr.W, cfg.gi_temporal_w_clamp),
+            M=jnp.minimum(nr.M, cfg.di_temporal_m_clamp),
+        )
+
+        # Reconstruct neighbor's primary point x1 (ray_gen_final.slang:253-258).
+        nuv = jnp.stack(
+            [
+                (nx.astype(jnp.float32) + 0.5) / w,
+                (ny.astype(jnp.float32) + 0.5) / h,
+            ],
+            axis=-1,
+        )
+        nd = nuv * 2.0 - 1.0
+        clip = jnp.concatenate(
+            [nd, jnp.ones((p, 1)), jnp.ones((p, 1))], axis=-1
+        )
+        tgt = einsum32("ij,nj->ni", proj_inverse, clip)[:, :3]
+        tgt = tgt / jnp.linalg.norm(tgt, axis=-1, keepdims=True)
+        ndir = einsum32("ij,nj->ni", view_inverse[:3, :3], tgt)
+        n_depth = gdepth[ni]
+        neighbor_x1 = cam_origin + ndir * n_depth[:, None]
+
+        w_new = nr.sample_pos - pos
+        w_old = nr.sample_pos - neighbor_x1
+        d_new = jnp.maximum(jnp.linalg.norm(w_new, axis=-1), 1e-4)
+        d_old = jnp.maximum(jnp.linalg.norm(w_old, axis=-1), 1e-4)
+        n_x2 = nr.sample_normal
+        cos_new = jnp.maximum(dot(n_x2, -w_new / d_new[:, None]), 0.0)
+        cos_old = jnp.maximum(dot(n_x2, -w_old / d_old[:, None]), 0.0)
+        ok = ok & (cos_new > 0.0) & (cos_old > 0.0)
+        jac = (cos_new * d_old * d_old) / jnp.maximum(
+            cos_old * d_new * d_new, 1e-4
+        )
+        jac = jnp.clip(jac, 0.0, cfg.gi_jacobian_clamp)
+
+        gdir = w_new / d_new[:, None]
+        ok = ok & (dot(normal, gdir) > 0.0)
+        occ = trace_occluded(tracer, pos, gdir, d_new)
+        ok = pending & ok & ~occ
+
+        p_hat_n = gi_target_pdf(
+            pos, normal, albedo, metal, nr.sample_pos, nr.sample_radiance
+        )
+        seed, u = rng_mod.rnd(seed)
+        combined = restir.merge_gi(combined, nr, p_hat_n, jac, u, ok)
+        return seed, combined
+
+    seed, combined = jax.lax.fori_loop(
+        0, cfg.gi_spatial_samples, gi_body, (seed, combined)
+    )
+
+    p_hat_f = gi_target_pdf(
+        pos, normal, albedo, metal, combined.sample_pos, combined.sample_radiance
+    )
+    w_gi = jnp.where(
+        p_hat_f > 1e-3,
+        combined.w_sum / jnp.maximum(combined.M, 1.0) / jnp.maximum(p_hat_f, 1e-9),
+        0.0,
+    )
+    w_gi = jnp.minimum(w_gi, cfg.gi_spatial_w_clamp)
+
+    gvec = combined.sample_pos - pos
+    gdist = jnp.maximum(jnp.linalg.norm(gvec, axis=-1), 1e-4)
+    gdir = gvec / gdist[:, None]
+    gndl = jnp.maximum(dot(normal, gdir), 0.0)
+    try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
+    occ = trace_occluded(tracer, pos, gdir, gdist)
+    ok_gi = try_gi & ~occ
+    f_diffuse = albedo * (1.0 - metal[:, None]) / PI
+    radiance = radiance + jnp.where(
+        ok_gi[:, None],
+        combined.sample_radiance * f_diffuse * (gndl * w_gi)[:, None] * throughput,
+        0.0,
+    )
+    return radiance

@@ -1,0 +1,185 @@
+"""Post pipeline: temporal accumulation (TAA), a-trous denoise, tonemap.
+
+Ports of shaders/temporal_accumulation.slang, denoise.slang, and
+postprocess.slang. The GPU's cooperative 18x18 shared-memory tiles and 16x16
+workgroups are an execution detail — on TPU these are whole-image shifted
+reads that XLA fuses; a Pallas tiled variant exists for the hot path (see
+sunray_tpu/ops/pallas_image.py once it lands).
+
+All images here are (H, W, C) float32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
+ACCUMULATION_FACTOR = 0.14   # temporal_accumulation.slang:30
+ATROUS_KERNEL = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _luminance(c):
+    return jnp.einsum("...c,c->...", c, LUMA)
+
+
+def _shift2d(img, dy, dx):
+    """Shift with edge-clamp (clamp-to-edge sampling of neighbors)."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def bilinear_sample(img, uv):
+    """Manual bilinear fetch at continuous uv, clamp-to-edge
+    (temporal_accumulation.slang:42-58). img: (H, W, C); uv: (H, W, 2)."""
+    h, w = img.shape[:2]
+    px = uv[..., 0] * w - 0.5
+    py = uv[..., 1] * h - 0.5
+    bx = jnp.floor(px).astype(jnp.int32)
+    by = jnp.floor(py).astype(jnp.int32)
+    fx = (px - bx)[..., None]
+    fy = (py - by)[..., None]
+
+    def at(ix, iy):
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(iy, 0, h - 1)
+        return img[iy, ix]
+
+    h00 = at(bx, by)
+    h10 = at(bx + 1, by)
+    h01 = at(bx, by + 1)
+    h11 = at(bx + 1, by + 1)
+    return (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
+
+
+def temporal_accumulate(raw, motion, history, frame_count,
+                        accumulation_factor=ACCUMULATION_FACTOR):
+    """TAA with 3x3 luminance-gated neighborhood clamp
+    (temporal_accumulation.slang:60-132).
+
+    raw, history: (H, W, 3); motion: (H, W, 2). Returns the new accumulation
+    image (which is next frame's history).
+    """
+    h, w = raw.shape[:2]
+    center_luma = _luminance(raw)
+    luma_threshold = jnp.maximum(center_luma * 5.0, 0.08)
+
+    min_c = raw
+    max_c = raw
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb = _shift2d(raw, dy, dx)
+            nb_luma = _luminance(nb)
+            ok = (jnp.abs(nb_luma - center_luma) < luma_threshold)[..., None]
+            min_c = jnp.where(ok, jnp.minimum(min_c, nb), min_c)
+            max_c = jnp.where(ok, jnp.maximum(max_c, nb), max_c)
+
+    xs = (jnp.arange(w) + 0.5) / w
+    ys = (jnp.arange(h) + 0.5) / h
+    uu, vv = jnp.meshgrid(xs, ys)
+    uv = jnp.stack([uu, vv], axis=-1)
+    prev_uv = uv - motion
+
+    off_screen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
+    hist = bilinear_sample(history, prev_uv)
+    clamped = jnp.clip(hist, min_c, max_c)
+    blended = clamped + (raw - clamped) * accumulation_factor
+
+    use_history = (~off_screen) & (frame_count > 2)
+    return jnp.where(use_history[..., None], blended, raw)
+
+
+def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
+    """One edge-avoiding a-trous pass (denoise.slang:27-116).
+
+    color: (H,W,3) input; depth: (H,W); normal: (H,W,3); roughness: (H,W);
+    diffuse: (H,W,3) demodulation albedo. step_width static int.
+    """
+    h, w = color.shape[:2]
+    sky = depth >= 10000.0
+    smooth = roughness < 0.1
+    bypass = sky | smooth
+
+    center_diffuse = jnp.maximum(diffuse, 0.001)
+    center_illum = color / center_diffuse
+    center_luma = _luminance(center_illum)
+
+    kc = ATROUS_KERNEL[2] * ATROUS_KERNEL[2]
+    sum_color = center_illum * kc
+    sum_weight = jnp.full((h, w), kc)
+
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dx == 0 and dy == 0:
+                continue
+            oy = dy * step_width
+            ox = dx * step_width
+            iy = ys + oy
+            ix = xs + ox
+            in_b = ((iy >= 0) & (iy < h))[:, None] & ((ix >= 0) & (ix < w))[None, :]
+            iy = jnp.clip(iy, 0, h - 1)
+            ix = jnp.clip(ix, 0, w - 1)
+            s_color = color[iy][:, ix]
+            s_depth = depth[iy][:, ix]
+            s_normal = normal[iy][:, ix]
+            s_diffuse = diffuse[iy][:, ix]
+
+            s_illum = s_color / jnp.maximum(s_diffuse, 0.001)
+            s_luma = _luminance(s_illum)
+
+            diffuse_diff = jnp.linalg.norm(center_diffuse - s_diffuse, axis=-1)
+            luma_diff = jnp.abs(center_luma - s_luma)
+            luma_sigma = jnp.maximum(center_luma, s_luma) * 0.4 + 0.01
+            luma_ratio = luma_diff / luma_sigma
+
+            power = (
+                -jnp.abs(depth - s_depth) * 8.0
+                + (jnp.einsum("hwc,hwc->hw", normal, s_normal) - 1.0) * 80.0
+                - diffuse_diff * 50.0
+                - luma_ratio * luma_ratio
+            )
+            wgt = (
+                jnp.exp(power)
+                * ATROUS_KERNEL[dx + 2]
+                * ATROUS_KERNEL[dy + 2]
+            )
+            wgt = jnp.where(in_b, wgt, 0.0)
+            sum_color = sum_color + s_illum * wgt[..., None]
+            sum_weight = sum_weight + wgt
+
+    out = sum_color / jnp.maximum(sum_weight, 1e-4)[..., None] * center_diffuse
+    return jnp.where(bypass[..., None], color, out)
+
+
+def atrous_denoise(color, depth, normal, roughness, diffuse, passes: int):
+    """N a-trous passes at step widths 1,2,4,... (src/lib.rs:42,1818)."""
+    for i in range(passes):
+        color = atrous_denoise_pass(
+            color, depth, normal, roughness, diffuse, 1 << i
+        )
+    return color
+
+
+def aces_film(x):
+    """ACES fitted (Narkowicz) — postprocess.slang:14-18."""
+    x = jnp.clip(x, 0.0, 100.0)
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def tonemap(color, exposure=1.0, mode="aces", gamma=2.2):
+    """NaN/Inf scrub -> exposure -> ACES -> gamma (postprocess.slang:20-42)."""
+    bad = jnp.any(~jnp.isfinite(color), axis=-1, keepdims=True)
+    color = jnp.where(bad, 0.0, color)
+    color = color * exposure
+    if mode == "aces":
+        color = aces_film(color)
+    else:
+        color = jnp.clip(color, 0.0, 1.0)
+    return color ** (1.0 / gamma)

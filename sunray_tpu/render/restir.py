@@ -1,0 +1,302 @@
+"""ReSTIR DI / GI reservoirs and resampling operations.
+
+Batched-SoA port of the reservoir algorithms in the reference shaders:
+  - Reservoir layouts: rt_types.slang:123-143 / resources/reservoir.rs:1-54
+    (normals kept as float3 instead of octahedral-packed uint — TPU arrays
+    aren't byte-budgeted and packing would break gradients).
+  - merge_reservoirs / merge_reservoirs_gi: rt_utils.slang:244-274
+  - RIS audition (16 candidates, area-uniform): ray_gen_ris.slang:189-231
+  - DI temporal reuse with confidence: ray_gen_ris.slang:233-267
+  - GI temporal reuse: ray_gen_ris.slang:408-432
+  - DI/GI spatial reuse: ray_gen_final.slang:136-327 (lives in pathtrace.py,
+    built on the merge primitives here)
+
+Everything is per-pixel-parallel over flat (P,) arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sunray_tpu.ops import rng as rng_mod
+from sunray_tpu.ops.brdf import (
+    eval_unshadowed_light,
+    gi_target_pdf,
+    luminance_max,
+    normalize,
+)
+
+
+@struct.dataclass
+class ReservoirDI:
+    light_pos: jnp.ndarray      # (P, 3)
+    w_sum: jnp.ndarray          # (P,)
+    light_normal: jnp.ndarray   # (P, 3)
+    M: jnp.ndarray              # (P,)
+    light_idx: jnp.ndarray      # (P,) int32
+    W: jnp.ndarray              # (P,)
+    hit_normal: jnp.ndarray     # (P, 3)
+    depth: jnp.ndarray          # (P,)
+
+    @staticmethod
+    def empty(p: int) -> "ReservoirDI":
+        z = jnp.zeros((p,), jnp.float32)
+        z3 = jnp.zeros((p, 3), jnp.float32)
+        return ReservoirDI(
+            light_pos=z3, w_sum=z, light_normal=z3, M=z,
+            light_idx=jnp.zeros((p,), jnp.int32), W=z, hit_normal=z3, depth=z,
+        )
+
+
+@struct.dataclass
+class ReservoirGI:
+    sample_pos: jnp.ndarray       # (P, 3)
+    w_sum: jnp.ndarray            # (P,)
+    sample_radiance: jnp.ndarray  # (P, 3)
+    M: jnp.ndarray                # (P,)
+    sample_normal: jnp.ndarray    # (P, 3)
+    W: jnp.ndarray                # (P,)
+    hit_normal: jnp.ndarray       # (P, 3)
+    depth: jnp.ndarray            # (P,)
+
+    @staticmethod
+    def empty(p: int) -> "ReservoirGI":
+        z = jnp.zeros((p,), jnp.float32)
+        z3 = jnp.zeros((p, 3), jnp.float32)
+        return ReservoirGI(
+            sample_pos=z3, w_sum=z, sample_radiance=z3, M=z,
+            sample_normal=z3, W=z, hit_normal=z3, depth=z,
+        )
+
+
+def merge_di(r: ReservoirDI, new_r: ReservoirDI, p_hat_new, u, enable):
+    """rt_utils.slang:244-253, masked by `enable` per lane."""
+    m = r.M + jnp.where(enable, new_r.M, 0.0)
+    weight = jnp.where(enable, p_hat_new * new_r.W * new_r.M, 0.0)
+    w_sum = r.w_sum + weight
+    take = enable & (u < weight / jnp.maximum(w_sum, 1e-4))
+    t3 = take[:, None]
+    return r.replace(
+        M=m,
+        w_sum=w_sum,
+        light_idx=jnp.where(take, new_r.light_idx, r.light_idx),
+        light_pos=jnp.where(t3, new_r.light_pos, r.light_pos),
+        light_normal=jnp.where(t3, new_r.light_normal, r.light_normal),
+    )
+
+
+def merge_gi(r: ReservoirGI, new_r: ReservoirGI, p_hat_new, jacobian, u, enable):
+    """rt_utils.slang:265-274, masked."""
+    m = r.M + jnp.where(enable, new_r.M, 0.0)
+    weight = jnp.where(enable, p_hat_new * new_r.W * new_r.M * jacobian, 0.0)
+    w_sum = r.w_sum + weight
+    take = enable & (u < weight / jnp.maximum(w_sum, 1e-4))
+    t3 = take[:, None]
+    return r.replace(
+        M=m,
+        w_sum=w_sum,
+        sample_pos=jnp.where(t3, new_r.sample_pos, r.sample_pos),
+        sample_normal=jnp.where(t3, new_r.sample_normal, r.sample_normal),
+        sample_radiance=jnp.where(t3, new_r.sample_radiance, r.sample_radiance),
+    )
+
+
+class Lights:
+    """Per-frame world-space light table (the EmissiveIndirection resolve)."""
+
+    def __init__(self, scene):
+        lv, le = scene.light_world_triangles()   # (L,3,3), (L,3)
+        self.v0 = lv[:, 0]
+        self.v1 = lv[:, 1]
+        self.v2 = lv[:, 2]
+        self.emission = le
+        self.num = lv.shape[0]
+
+    def gather(self, idx):
+        """Light triangles by index: (v0, v1, v2, emission), idx (N,)."""
+        return self.v0[idx], self.v1[idx], self.v2[idx], self.emission[idx]
+
+    def sample_point(self, idx, u1, u2):
+        """Area-uniform point on light idx (ray_gen_ris.slang:196-210).
+
+        Returns (pos, normal, emission, area).
+        """
+        v0, v1, v2, em = self.gather(idx)
+        e1 = v1 - v0
+        e2 = v2 - v0
+        cr = jnp.cross(e1, e2)
+        area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+        nrm = normalize(cr, eps=1e-12)
+        sqr1 = jnp.sqrt(u1)
+        u = 1.0 - sqr1
+        v = u2 * sqr1
+        w = 1.0 - u - v
+        pos = v0 * u[:, None] + v1 * v[:, None] + v2 * w[:, None]
+        return pos, nrm, em, area
+
+    def eval_p_hat(self, idx, light_pos, light_normal, surf_pos, surf_normal,
+                   v_view, albedo, roughness, metallic):
+        """p_hat = max-channel of the unshadowed contribution of a stored
+        reservoir sample (used everywhere a reservoir is re-evaluated)."""
+        _, _, _, em = self.gather(idx)
+        f_y = eval_unshadowed_light(
+            surf_pos, surf_normal, v_view, albedo, roughness, metallic,
+            em, light_pos, light_normal,
+        )
+        return luminance_max(f_y), f_y
+
+
+def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
+                 roughness, metallic, candidates: int, enable):
+    """RIS candidate audition (ray_gen_ris.slang:189-231).
+
+    Runs `candidates` rounds of weighted reservoir sampling against the
+    unshadowed target. Returns (seed, ReservoirDI) with W resolved.
+    """
+    p = hit_pos.shape[0]
+    r = ReservoirDI.empty(p)
+    num_lights = lights.num
+
+    def body(i, carry):
+        seed, r = carry
+        seed, u_pick = rng_mod.rnd(seed)
+        idx = jnp.minimum(
+            (u_pick * num_lights).astype(jnp.int32), num_lights - 1
+        )
+        seed, u1, u2 = rng_mod.rnd2(seed)
+        pos, nrm, em, area = lights.sample_point(idx, u1, u2)
+        f_y = eval_unshadowed_light(
+            hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+            em, pos, nrm,
+        )
+        p_hat = luminance_max(f_y)
+        p_y = 1.0 / jnp.maximum(num_lights * area, 1e-4)
+        wi = jnp.where(enable, p_hat / p_y, 0.0)
+        w_sum = r.w_sum + wi
+        m = r.M + jnp.where(enable, 1.0, 0.0)
+        seed, u_keep = rng_mod.rnd(seed)
+        take = enable & (u_keep < wi / jnp.maximum(w_sum, 1e-4))
+        t3 = take[:, None]
+        r = r.replace(
+            w_sum=w_sum, M=m,
+            light_idx=jnp.where(take, idx, r.light_idx),
+            light_pos=jnp.where(t3, pos, r.light_pos),
+            light_normal=jnp.where(t3, nrm, r.light_normal),
+        )
+        return seed, r
+
+    seed, r = jax.lax.fori_loop(0, candidates, body, (seed, r))
+
+    # Resolve W for the winner (ray_gen_ris.slang:225-231).
+    p_hat_w, _ = lights.eval_p_hat(
+        r.light_idx, r.light_pos, r.light_normal,
+        hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+    )
+    w = r.w_sum / jnp.maximum(r.M * p_hat_w, 1e-4)
+    r = r.replace(W=jnp.where(enable & (r.w_sum > 0.0), w, 0.0))
+    return seed, r
+
+
+def gather_reservoir_di(r: ReservoirDI, idx) -> ReservoirDI:
+    """Gather reservoir lanes at pixel indices idx (history/neighbor reads)."""
+    return jax.tree_util.tree_map(lambda x: x[idx], r)
+
+
+def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
+    return jax.tree_util.tree_map(lambda x: x[idx], r)
+
+
+def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
+                      history: ReservoirDI, prev_uv, prev_valid, frame_count,
+                      hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+                      virtual_distance, width, height, enable):
+    """DI temporal reuse with jittered reprojection + normal/depth confidence
+    (ray_gen_ris.slang:233-267)."""
+    seed, j1, j2 = rng_mod.rnd2(seed)
+    # int2(prev_pixel + jitter) with jitter in [-0.5, 0.5) — for non-negative
+    # coords HLSL int() truncation == floor.
+    px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
+    py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
+    in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
+    ok = enable & prev_valid & in_bounds & (frame_count > 0)
+
+    pi = jnp.clip(py * width + px, 0, width * height - 1)
+    h = gather_reservoir_di(history, pi)
+    h = h.replace(
+        M=jnp.minimum(h.M, cfg.di_temporal_m_clamp),
+        W=jnp.minimum(h.W, cfg.di_temporal_w_clamp),
+    )
+
+    ndot = jnp.sum(hit_normal * h.hit_normal, axis=-1)
+    normal_conf = smoothstep(0.9, 0.99, ndot)
+    depth_diff = jnp.abs(virtual_distance - h.depth) / jnp.maximum(
+        virtual_distance, 1e-4
+    )
+    depth_conf = 1.0 - smoothstep(0.05, 0.20, depth_diff)
+    conf = normal_conf * depth_conf
+    h = h.replace(M=h.M * conf)
+
+    use = ok & (h.W > 0.0)
+    h = h.replace(light_idx=jnp.minimum(h.light_idx, lights.num - 1))
+    p_hat_hist, _ = lights.eval_p_hat(
+        h.light_idx, h.light_pos, h.light_normal,
+        hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+    )
+    seed, u_m = rng_mod.rnd(seed)
+    r = merge_di(r, h, p_hat_hist, u_m, use)
+
+    p_hat_merged, _ = lights.eval_p_hat(
+        r.light_idx, r.light_pos, r.light_normal,
+        hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+    )
+    w_new = r.w_sum / jnp.maximum(r.M * p_hat_merged, 1e-4)
+    r = r.replace(W=jnp.where(use, w_new, r.W))
+    return seed, r
+
+
+def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
+                      prev_uv, prev_valid, frame_count,
+                      hit_pos, hit_normal, albedo, metallic,
+                      virtual_distance, width, height, enable):
+    """GI temporal reuse (ray_gen_ris.slang:408-432)."""
+    seed, j1, j2 = rng_mod.rnd2(seed)
+    px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
+    py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
+    in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
+    ok = enable & prev_valid & in_bounds & (frame_count > 0)
+    pi = jnp.clip(py * width + px, 0, width * height - 1)
+    h = gather_reservoir_gi(history, pi)
+
+    ndot = jnp.sum(hit_normal * h.hit_normal, axis=-1)
+    normal_conf = smoothstep(0.8, 0.95, ndot)
+    depth_diff = jnp.abs(virtual_distance - h.depth) / jnp.maximum(
+        virtual_distance, 1e-4
+    )
+    depth_conf = 1.0 - smoothstep(0.05, 0.20, depth_diff)
+    conf = normal_conf * depth_conf
+
+    h = h.replace(
+        M=jnp.minimum(h.M, cfg.gi_temporal_m_clamp) * conf,
+        W=jnp.minimum(h.W, cfg.gi_temporal_w_clamp),
+    )
+    use = ok & (h.W > 0.0) & (h.M > 0.0)
+    p_hat_hist = gi_target_pdf(
+        hit_pos, hit_normal, albedo, metallic, h.sample_pos, h.sample_radiance
+    )
+    seed, u_m = rng_mod.rnd(seed)
+    r = merge_gi(r, h, p_hat_hist, 1.0, u_m, use)
+    p_hat_merged = gi_target_pdf(
+        hit_pos, hit_normal, albedo, metallic, r.sample_pos, r.sample_radiance
+    )
+    w_new = jnp.where(
+        p_hat_merged > 1e-6, r.w_sum / jnp.maximum(r.M * p_hat_merged, 1e-9), 0.0
+    )
+    r = r.replace(W=jnp.where(use, w_new, r.W))
+    return seed, r
+
+
+def smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)

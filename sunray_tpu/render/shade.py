@@ -1,0 +1,171 @@
+"""Surface shading at hit points — the closest-hit "shader".
+
+Port of shaders/closest_hit.slang:12-91 to batched array form: barycentric
+vertex-attribute interpolation, inverse-transpose normal transform, TBN
+normal mapping (handedness from vertex 0 only, closest_hit.slang:34), PBR
+texture sampling (glTF metallic-roughness convention: G = roughness,
+B = metallic, closest_hit.slang:85), emissive = emissive_tex.rgb * strength.
+
+Instead of packing the result into a 24-byte RayPayload
+(rt_types.slang:9-16), the Surface struct keeps float32 SoA — packing is a
+storage optimization on a register-starved GPU; on TPU the arrays stay in
+HBM/VMEM and quantizing them would only break gradients.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sunray_tpu.ops.linalg import einsum32
+
+from sunray_tpu.ops.brdf import normalize
+from sunray_tpu.ops.texture import sample_texture
+from sunray_tpu.scene.types import (
+    NULL_TEXTURE,
+    TEX_BASE_COLOR,
+    TEX_EMISSIVE,
+    TEX_METALLIC_ROUGHNESS,
+    TEX_NORMAL,
+)
+
+
+class Surface(NamedTuple):
+    """Batched shading result (the RayPayload analog, unpacked)."""
+
+    dist: jnp.ndarray          # (N,)
+    pos: jnp.ndarray           # (N, 3) world hit position
+    normal: jnp.ndarray        # (N, 3) shading normal (normal-mapped)
+    geo_normal: jnp.ndarray    # (N, 3) interpolated geometric normal
+    albedo: jnp.ndarray        # (N, 3)
+    emission: jnp.ndarray      # (N, 3)
+    roughness: jnp.ndarray     # (N,)
+    metallic: jnp.ndarray      # (N,)
+    transmission: jnp.ndarray  # (N,)
+    ior: jnp.ndarray           # (N,)
+    valid: jnp.ndarray         # (N,) bool — hit mask
+
+
+def instance_inverse_rotations(inst_transform):
+    """(I,3,3) inverse of the rotation/scale block, for normal transforms."""
+    return jnp.linalg.inv(inst_transform[:, :, :3])
+
+
+def shade_hits(scene, orig, d, hit, differentiable_t=True):
+    """Compute the Surface for a batch of hits.
+
+    scene: SceneBuffers; orig/d: (N, 3); hit: intersect.Hit.
+    Misses produce valid=False with dist=-1 (ray_miss.slang:9-13 sentinel).
+    """
+    tri = jnp.where(hit.hit, hit.tri, 0)
+    inst = scene.tri_inst[tri]                       # (N,)
+    prim = scene.inst_prim[inst]                     # (N,)
+    vidx = scene.tri_vidx[tri]                       # (N, 3)
+
+    u = hit.u
+    v = hit.v
+    bary = jnp.stack([1.0 - u - v, u, v], axis=-1)   # (N, 3)
+
+    # Vertex attribute gathers + barycentric interpolation
+    # (closest_hit.slang:31-37, rt_utils.slang:136-147).
+    vn = scene.normals[vidx]                         # (N, 3, 3)
+    vt = scene.tangents[vidx]                        # (N, 3, 4)
+    vuv = scene.uvs[vidx]                            # (N, 3, 5, 2)
+    n_obj = einsum32("nk,nkj->nj", bary, vn)
+    tangent_obj = einsum32("nk,nkj->nj", bary, vt[..., :3])
+    handedness = jnp.where(vt[:, 0, 3] >= 0.0, 1.0, -1.0)  # vertex 0 only
+    uv_all = einsum32("nk,nksj->nsj", bary, vuv)   # (N, 5, 2)
+    uv = uv_all[:, TEX_BASE_COLOR]
+    normal_uv = uv_all[:, TEX_NORMAL]
+
+    # Materials (MeshInfo analog).
+    mats = scene.materials
+    base_color_f = mats.base_color[prim]             # (N, 4)
+    tex = mats.tex_index[prim]                       # (N, 5)
+
+    base_color = sample_texture(
+        scene.textures, tex[:, TEX_BASE_COLOR], uv, base_color_f
+    )
+    emissive_factor = mats.emissive_factor[prim]     # (N, 4) rgb + strength
+    emissive_sample = sample_texture(
+        scene.textures,
+        tex[:, TEX_EMISSIVE],
+        uv,
+        jnp.concatenate(
+            [emissive_factor[:, :3], jnp.ones_like(emissive_factor[:, :1])], axis=-1
+        ),
+    )
+    emission = emissive_sample[:, :3] * emissive_factor[:, 3:4]
+
+    # World normal via inverse-transpose (closest_hit.slang:49-50):
+    # world_n = normalize((W2O)^T @ n_obj).
+    inv_rot = instance_inverse_rotations(scene.inst_transform)[inst]  # (N,3,3)
+    world_normal = normalize(
+        einsum32("nji,nj->ni", inv_rot, n_obj), eps=1e-12
+    )
+    final_normal = world_normal
+
+    # Normal mapping (closest_hit.slang:56-72).
+    has_tangent = jnp.linalg.norm(tangent_obj, axis=-1) > 0.001
+    has_normal_tex = tex[:, TEX_NORMAL] != NULL_TEXTURE
+    do_nm = has_tangent & has_normal_tex
+    rot = scene.inst_transform[inst][:, :, :3]       # (N,3,3) object->world
+    world_tangent = normalize(
+        einsum32("nij,nj->ni", rot, tangent_obj), eps=1e-12
+    )
+    world_tangent = normalize(
+        world_tangent
+        - jnp.sum(world_tangent * world_normal, -1, keepdims=True) * world_normal,
+        eps=1e-12,
+    )
+    world_bitangent = jnp.cross(world_normal, world_tangent) * handedness[:, None]
+    raw_nm = sample_texture(
+        scene.textures,
+        tex[:, TEX_NORMAL],
+        normal_uv,
+        jnp.broadcast_to(
+            jnp.asarray([0.5, 0.5, 1.0, 1.0], base_color.dtype), base_color.shape
+        ),
+    )[:, :3]
+    snm = raw_nm * 2.0 - 1.0
+    snm_z = jnp.sqrt(jnp.clip(1.0 - snm[:, 0] ** 2 - snm[:, 1] ** 2, 0.0, 1.0))
+    snm = normalize(
+        jnp.stack([snm[:, 0], snm[:, 1], snm_z], axis=-1), eps=1e-12
+    )
+    mapped = normalize(
+        snm[:, 0:1] * world_tangent
+        + snm[:, 1:2] * world_bitangent
+        + snm[:, 2:3] * world_normal,
+        eps=1e-12,
+    )
+    final_normal = jnp.where(do_nm[:, None], mapped, final_normal)
+
+    # Roughness / metallic (closest_hit.slang:79-87).
+    roughness = mats.roughness[prim]
+    metallic = mats.metallic[prim]
+    mr = sample_texture(
+        scene.textures,
+        tex[:, TEX_METALLIC_ROUGHNESS],
+        uv,
+        jnp.ones_like(base_color),
+    )
+    roughness = roughness * mr[:, 1]   # G channel
+    metallic = metallic * mr[:, 2]     # B channel
+
+    dist = jnp.where(hit.hit, hit.t, -1.0)
+    pos = orig + d * dist[:, None]
+
+    return Surface(
+        dist=dist,
+        pos=pos,
+        normal=final_normal,
+        geo_normal=world_normal,
+        albedo=base_color[:, :3],
+        emission=emission,
+        roughness=roughness,
+        metallic=metallic,
+        transmission=mats.transmission[prim],
+        ior=mats.ior[prim],
+        valid=hit.hit,
+    )

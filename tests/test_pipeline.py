@@ -1,0 +1,122 @@
+"""End-to-end frame pipeline tests on tiny images (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sunray_tpu.camera import Camera, camera_matrices
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.pipeline import RenderState, render_frame
+from sunray_tpu.scene import cornell_box
+
+W, H = 64, 48
+
+CAM = Camera(position=(1.0, 1.0, 4.4), target=(1.0, 1.0, 0.0), fov_y=50.0)
+
+
+def small_cfg(**kw):
+    base = dict(
+        width=W, height=H, bounces=4, virtual_bounces=4, ris_candidates=4,
+        di_spatial_samples=2, gi_spatial_samples=1, denoise_passes=1,
+        warmup_frames=2, lighting="restir",
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()
+
+
+def run_frames(scene, cfg, n=3):
+    mats = camera_matrices(CAM, cfg.width, cfg.height)
+    state = RenderState.create(cfg)
+    step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
+    ldr = None
+    for _ in range(n):
+        state, ldr, aux = step(state)
+    return state, np.asarray(ldr), jax.tree_util.tree_map(np.asarray, aux)
+
+
+class TestNeeMode:
+    def test_renders_finite_nonblack(self, scene):
+        cfg = small_cfg(lighting="nee")
+        state, ldr, aux = run_frames(scene, cfg)
+        assert ldr.shape == (H, W, 3)
+        assert np.isfinite(ldr).all()
+        assert 0.0 <= ldr.min() and ldr.max() <= 1.0
+        # The lit Cornell interior must not be black.
+        assert ldr.mean() > 0.02
+        # Left wall red, right wall green: compare column tints in the
+        # interior rows.
+        left = ldr[H // 2, 2:6].mean(axis=0)
+        right = ldr[H // 2, -6:-2].mean(axis=0)
+        assert left[0] > left[1], f"left wall should be red-ish, got {left}"
+        assert right[1] > right[0], f"right wall should be green-ish, got {right}"
+
+    def test_depth_and_motion(self, scene):
+        cfg = small_cfg(lighting="nee")
+        _, _, aux = run_frames(scene, cfg)
+        depth = aux["depth"]
+        # Static camera: motion should be ~0 for on-screen pixels after
+        # frame 0.
+        inside = depth < 9000.0
+        assert inside.mean() > 0.9  # nearly all pixels see the box
+        motion = aux["motion"]
+        assert np.abs(motion[inside]).max() < 1e-3
+
+    def test_frame_count_advances(self, scene):
+        cfg = small_cfg(lighting="nee")
+        state, _, _ = run_frames(scene, cfg, n=3)
+        assert int(state.frame_count) == 3
+
+
+class TestRestirMode:
+    def test_renders_finite_nonblack(self, scene):
+        cfg = small_cfg(lighting="restir")
+        state, ldr, _ = run_frames(scene, cfg, n=4)
+        assert np.isfinite(ldr).all()
+        assert ldr.mean() > 0.02
+        # Reservoirs should be populated: some lanes with M > 0 and W > 0.
+        m = np.asarray(state.res_di.M)
+        w = np.asarray(state.res_di.W)
+        assert (m > 0).mean() > 0.5
+        assert (w > 0).mean() > 0.05
+
+    def test_brighter_than_dark_scene(self, scene):
+        # Same scene with emission off should be darker.
+        cfg = small_cfg(lighting="restir")
+        _, lit, _ = run_frames(scene, cfg, n=4)
+        dark_scene = scene.replace(
+            emissive_rgb=jnp.zeros_like(scene.emissive_rgb),
+            materials=scene.materials.replace(
+                emissive_factor=jnp.zeros_like(scene.materials.emissive_factor)
+            ),
+        )
+        _, dark, _ = run_frames(dark_scene, cfg, n=4)
+        assert lit.mean() > dark.mean() + 0.01
+
+
+class TestTemporalState:
+    def test_taa_converges(self, scene):
+        cfg = small_cfg(lighting="nee", denoise_passes=0)
+        mats = camera_matrices(CAM, cfg.width, cfg.height)
+        state = RenderState.create(cfg)
+        step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
+        frames = []
+        for _ in range(8):
+            state, ldr, _ = step(state)
+            frames.append(np.asarray(ldr))
+        # Later frame-to-frame deltas should be smaller than early ones
+        # (temporal accumulation smoothing noise).
+        d_early = np.abs(frames[3] - frames[2]).mean()
+        d_late = np.abs(frames[7] - frames[6]).mean()
+        assert d_late < d_early * 1.5
+
+    def test_reset_history(self, scene):
+        cfg = small_cfg()
+        state = RenderState.create(cfg)
+        assert int(state.frame_count) == 0
+        assert float(jnp.abs(state.accum).max()) == 0.0
