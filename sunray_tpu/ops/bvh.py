@@ -20,5 +20,5 @@ def trace_closest_bvh(bvh, tris, orig, d, tmin, tmax):  # pragma: no cover
     raise NotImplementedError
 
 
-def trace_occluded_bvh(bvh, tris, orig, d, tmax, tmin):  # pragma: no cover
+def trace_occluded_bvh(bvh, tris, orig, d, tmax, tmin, exclude=None):  # pragma: no cover
     raise NotImplementedError

@@ -94,9 +94,12 @@ def _closest_block(orig, d, tris, tmin, tmax):
     )
 
 
-def _any_block(orig, d, tris, tmin, tmax):
+def _any_block(orig, d, tris, tmin, tmax, exclude=None):
     v0, v1, v2 = tris
     _, _, _, valid = moller_trumbore(orig, d, v0, v1, v2, tmin, tmax)
+    if exclude is not None:
+        t_ids = jnp.arange(v0.shape[0], dtype=jnp.int32)
+        valid = valid & (t_ids[None, :] != exclude[:, None])
     return jnp.any(valid, axis=-1)
 
 
@@ -138,18 +141,32 @@ def trace_closest_brute(tris, orig, d, tmin=T_MIN, tmax=T_MAX, block=RAY_BLOCK) 
     return _blocked(fn, orig, d, (tmin_a, tmax_a), block)
 
 
-def trace_occluded_brute(tris, orig, d, tmax, tmin=T_MIN, block=RAY_BLOCK):
-    """Any-hit in (tmin, tmax): True = occluded. tmax: (N,) segment length."""
+def trace_occluded_brute(tris, orig, d, tmax, tmin=T_MIN, block=RAY_BLOCK,
+                         exclude=None):
+    """Any-hit in (tmin, tmax): True = occluded. tmax: (N,) segment length.
+
+    exclude: optional (N,) int32 triangle id ignored per ray (the shadow
+    ray's own target light/surface triangle); -1 = none.
+    """
     orig = orig.reshape(-1, 3)
     d = d.reshape(-1, 3)
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, orig.dtype), orig.shape[:1])
     tmax_a = jnp.asarray(tmax).reshape(-1)
 
-    def fn(args):
-        o, dd, (tn, tx) = args
-        return _any_block(o, dd, tris, tn, tx)
+    if exclude is None:
+        def fn(args):
+            o, dd, (tn, tx) = args
+            return _any_block(o, dd, tris, tn, tx)
 
-    return _blocked(fn, orig, d, (tmin_a, tmax_a), block)
+        return _blocked(fn, orig, d, (tmin_a, tmax_a), block)
+
+    exclude = jnp.asarray(exclude, jnp.int32).reshape(-1)
+
+    def fn(args):
+        o, dd, (tn, tx, ex) = args
+        return _any_block(o, dd, tris, tn, tx, ex)
+
+    return _blocked(fn, orig, d, (tmin_a, tmax_a, exclude), block)
 
 
 def hit_attributes(tris, orig, d, tri_id):

@@ -237,7 +237,8 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     vis_dir = vis_vec / vis_dist[:, None]
     facing = dot(walk["normal"], vis_dir) > 0.0
     occluded = trace_occluded(
-        tracer, walk["pos"] + walk["normal"] * 1e-3, vis_dir, vis_dist
+        tracer, walk["pos"] + walk["normal"] * 1e-3, vis_dir, vis_dist,
+        exclude=lights.world_tri[r_di.light_idx],
     )
     keep_w = (r_di.W > 0.0) & facing & ~occluded
     r_di = r_di.replace(
@@ -283,7 +284,8 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     nee_cos_light = jnp.maximum(dot(nee_normal, -to_light), 0.0)
     nee_try = gi_found & (nee_cos_surf > 0.0) & (nee_cos_light > 0.0)
     nee_occ = trace_occluded(
-        tracer, sample_pos + sample_normal * 1e-3, to_light, nee_dist
+        tracer, sample_pos + sample_normal * 1e-3, to_light, nee_dist,
+        exclude=lights.world_tri[nee_idx],
     )
     nee_ok = nee_try & ~nee_occ
     nee_pdf_sa = (nee_dist * nee_dist) / jnp.maximum(
@@ -315,6 +317,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         ),
         hit_normal=jnp.zeros_like(sample_pos),
         depth=jnp.zeros_like(p_hat),
+        sample_tri=jnp.where(gi_found, gi_hit.tri, -1),
     )
 
     seed, r_gi = restir.gi_temporal_reuse(

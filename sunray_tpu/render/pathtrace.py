@@ -159,7 +159,10 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             cos_l = jnp.maximum(dot(lnrm, -sdir), 0.0)
             cos_s = jnp.maximum(dot(surf.normal, sdir), 0.0)
             cand = nee_lane & (cos_l > 0.0) & (cos_s > 0.0)
-            occ = trace_occluded(tracer, surf.pos, sdir, ldist)
+            occ = trace_occluded(
+                tracer, surf.pos, sdir, ldist,
+                exclude=lights.world_tri[lidx],
+            )
             vis = cand & ~occ
             pdf_sa = (ldist * ldist) / jnp.maximum(
                 cos_l * larea * num_lights, 1e-4
@@ -353,7 +356,10 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     sdist = jnp.maximum(jnp.linalg.norm(sdir, axis=-1), 1e-4)
     sdir = sdir / sdist[:, None]
     facing = dot(normal, sdir) > 0.0
-    occ = trace_occluded(tracer, pos, sdir, sdist)
+    occ = trace_occluded(
+        tracer, pos, sdir, sdist,
+        exclude=lights.world_tri[spatial.light_idx],
+    )
     lit = has & facing & ~occ
     radiance = radiance + jnp.where(
         lit[:, None], f_y_w * throughput * w_spatial[:, None], 0.0
@@ -416,7 +422,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
 
         gdir = w_new / d_new[:, None]
         ok = ok & (dot(normal, gdir) > 0.0)
-        occ = trace_occluded(tracer, pos, gdir, d_new)
+        occ = trace_occluded(tracer, pos, gdir, d_new, exclude=nr.sample_tri)
         ok = pending & ok & ~occ
 
         p_hat_n = gi_target_pdf(
@@ -445,7 +451,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     gdir = gvec / gdist[:, None]
     gndl = jnp.maximum(dot(normal, gdir), 0.0)
     try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
-    occ = trace_occluded(tracer, pos, gdir, gdist)
+    occ = trace_occluded(tracer, pos, gdir, gdist, exclude=combined.sample_tri)
     ok_gi = try_gi & ~occ
     f_diffuse = albedo * (1.0 - metal[:, None]) / PI
     radiance = radiance + jnp.where(

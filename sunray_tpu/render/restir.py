@@ -42,11 +42,14 @@ class ReservoirDI:
 
     @staticmethod
     def empty(p: int) -> "ReservoirDI":
-        z = jnp.zeros((p,), jnp.float32)
-        z3 = jnp.zeros((p, 3), jnp.float32)
+        # Fresh buffer per field: shared buffers break jit donation
+        # ("attempt to donate the same buffer twice").
+        z = lambda: jnp.zeros((p,), jnp.float32)
+        z3 = lambda: jnp.zeros((p, 3), jnp.float32)
         return ReservoirDI(
-            light_pos=z3, w_sum=z, light_normal=z3, M=z,
-            light_idx=jnp.zeros((p,), jnp.int32), W=z, hit_normal=z3, depth=z,
+            light_pos=z3(), w_sum=z(), light_normal=z3(), M=z(),
+            light_idx=jnp.zeros((p,), jnp.int32), W=z(), hit_normal=z3(),
+            depth=z(),
         )
 
 
@@ -60,14 +63,19 @@ class ReservoirGI:
     W: jnp.ndarray                # (P,)
     hit_normal: jnp.ndarray       # (P, 3)
     depth: jnp.ndarray            # (P,)
+    # World-triangle id of the sample point (extra vs. the reference's
+    # 48-byte layout): lets visibility rays toward the sample exclude its
+    # own surface triangle instead of using a self-occluding TMax epsilon.
+    sample_tri: jnp.ndarray       # (P,) int32, -1 = none
 
     @staticmethod
     def empty(p: int) -> "ReservoirGI":
-        z = jnp.zeros((p,), jnp.float32)
-        z3 = jnp.zeros((p, 3), jnp.float32)
+        z = lambda: jnp.zeros((p,), jnp.float32)
+        z3 = lambda: jnp.zeros((p, 3), jnp.float32)
         return ReservoirGI(
-            sample_pos=z3, w_sum=z, sample_radiance=z3, M=z,
-            sample_normal=z3, W=z, hit_normal=z3, depth=z,
+            sample_pos=z3(), w_sum=z(), sample_radiance=z3(), M=z(),
+            sample_normal=z3(), W=z(), hit_normal=z3(), depth=z(),
+            sample_tri=jnp.full((p,), -1, jnp.int32),
         )
 
 
@@ -100,6 +108,7 @@ def merge_gi(r: ReservoirGI, new_r: ReservoirGI, p_hat_new, jacobian, u, enable)
         sample_pos=jnp.where(t3, new_r.sample_pos, r.sample_pos),
         sample_normal=jnp.where(t3, new_r.sample_normal, r.sample_normal),
         sample_radiance=jnp.where(t3, new_r.sample_radiance, r.sample_radiance),
+        sample_tri=jnp.where(take, new_r.sample_tri, r.sample_tri),
     )
 
 
@@ -113,6 +122,8 @@ class Lights:
         self.v2 = lv[:, 2]
         self.emission = le
         self.num = lv.shape[0]
+        # World-triangle id per light, for occlusion-query exclusion.
+        self.world_tri = scene.light_world_tri
 
     def gather(self, idx):
         """Light triangles by index: (v0, v1, v2, emission), idx (N,)."""

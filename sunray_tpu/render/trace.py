@@ -40,13 +40,23 @@ def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.
     return intersect.trace_closest_brute(ctx.tris, orig, d, tmin, tmax)
 
 
-def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN):
+def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
+                   exclude=None):
     """Boolean occlusion along segments. Degenerate segments (< 2e-3, the
-    reference's TMax<TMin guard, e.g. ray_gen_ris.slang:287) are visible."""
+    reference's TMax<TMin guard, e.g. ray_gen_ris.slang:287) are visible.
+
+    exclude: per-ray triangle id to ignore — the shadow ray's own target
+    triangle (a light sample or a reprojected GI surface point lies ON
+    geometry; excluding it by id replaces the reference's self-occluding
+    absolute TMax epsilon)."""
     tmax = jnp.asarray(tmax)
     degenerate = tmax - tmin <= intersect.T_MIN
     if ctx.bvh is not None:
-        occ = bvh_mod.trace_occluded_bvh(ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin)
+        occ = bvh_mod.trace_occluded_bvh(
+            ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude
+        )
     else:
-        occ = intersect.trace_occluded_brute(ctx.tris, orig, d, tmax - 1e-3, tmin)
+        occ = intersect.trace_occluded_brute(
+            ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude
+        )
     return occ & ~degenerate

@@ -56,13 +56,14 @@ class _MeshBuilder:
             corners = corners @ rot.T
         corners += np.asarray(center, np.float32)
         b, t = corners[:4], corners[4:]
-        # bottom (down), top (up), 4 sides (outward)
-        self.add_quad(b[0], b[3], b[2], b[1], prim)
-        self.add_quad(t[0], t[1], t[2], t[3], prim)
-        self.add_quad(b[0], b[1], t[1], t[0], prim)   # -z
-        self.add_quad(b[1], b[2], t[2], t[1], prim)   # +x
-        self.add_quad(b[2], b[3], t[3], t[2], prim)   # +z
-        self.add_quad(b[3], b[0], t[0], t[3], prim)   # -x
+        # add_quad's normal is cross(p1-p0, p3-p0); order chosen so every
+        # face normal points OUTWARD.
+        self.add_quad(b[0], b[1], b[2], b[3], prim)   # bottom, normal -y
+        self.add_quad(t[0], t[3], t[2], t[1], prim)   # top, normal +y
+        self.add_quad(b[0], t[0], t[1], b[1], prim)   # -z side
+        self.add_quad(b[1], t[1], t[2], b[2], prim)   # +x side
+        self.add_quad(b[2], t[2], t[3], b[3], prim)   # +z side
+        self.add_quad(b[3], t[3], t[0], b[0], prim)   # -x side
 
     def build(self, instances=None) -> SceneBuffers:
         if instances is None:
@@ -110,7 +111,8 @@ def cornell_box(light_emission: float = 15.0) -> SceneBuffers:
     lx0, lx1 = 0.65 * s / 2.0, 1.35 * s / 2.0
     lz0, lz1 = 0.65 * s / 2.0, 1.35 * s / 2.0
     ly = s - 0.01
-    b.add_quad((lx0, ly, lz0), (lx0, ly, lz1), (lx1, ly, lz1), (lx1, ly, lz0), light)
+    # Wind so the light normal faces DOWN into the box.
+    b.add_quad((lx0, ly, lz0), (lx1, ly, lz0), (lx1, ly, lz1), (lx0, ly, lz1), light)
     # Two boxes
     b.add_box((0.65, 0.6, 0.65), (0.6, 1.2, 0.6), white, rotate_y=np.deg2rad(18.0))
     b.add_box((1.4, 0.3, 1.3), (0.6, 0.6, 0.6), white, rotate_y=np.deg2rad(-17.0))
@@ -147,9 +149,10 @@ def reflection_room(light_emission: float = 12.0) -> SceneBuffers:
     b.add_quad((0, 0, 0), (0, s, 0), (0, s, s), (0, 0, s), blue)        # left
     b.add_quad((s, 0, 0), (s, 0, s), (s, s, s), (s, s, 0), blue)        # right
     ly = s - 0.02
+    # Wound so the light normal faces DOWN into the room.
     b.add_quad(
-        (s * 0.35, ly, s * 0.35), (s * 0.35, ly, s * 0.65),
-        (s * 0.65, ly, s * 0.65), (s * 0.65, ly, s * 0.35), light,
+        (s * 0.35, ly, s * 0.35), (s * 0.65, ly, s * 0.35),
+        (s * 0.65, ly, s * 0.65), (s * 0.35, ly, s * 0.65), light,
     )
     b.add_box((s * 0.3, 0.5, s * 0.55), (1.0, 1.0, 1.0), glass)
     b.add_box((s * 0.7, 0.4, s * 0.35), (0.8, 0.8, 0.8), white, rotate_y=0.5)

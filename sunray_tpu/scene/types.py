@@ -159,6 +159,12 @@ class SceneBuffers:
     # primitive) pair, (emissive_tri_index, instance_id).
     light_tri: jnp.ndarray        # (L,) int32 into emissive_*
     light_inst: jnp.ndarray       # (L,) int32 into instances
+    # World-triangle id of each light — lets occlusion queries exclude the
+    # target light's own triangle instead of relying on the reference's
+    # absolute TMax epsilon (ray_gen_ris.slang:287-293), which geometrically
+    # self-occludes near-perpendicular shadow rays. A software tracer knows
+    # triangle ids; a hardware TLAS doesn't — this is a TPU-native win.
+    light_world_tri: jnp.ndarray  # (L,) int32 into the world triangle list
 
     @property
     def num_tris(self) -> int:
@@ -254,14 +260,25 @@ def build_scene(
     em_prim = np.asarray(em_prim, np.int32)
 
     # Light indirection: every instance of an emissive primitive contributes
-    # its emissive triangles (resource_manager.rs:216-267).
-    lt, li = [], []
+    # its emissive triangles (resource_manager.rs:216-267). Also record each
+    # light's world-triangle id: an emissive primitive's k-th emissive
+    # triangle IS its k-th triangle (the whole primitive is emissive, as in
+    # gltf/mod.rs:274-296), so world id = instance offset + k.
+    inst_offset = np.zeros(len(inst_prim), np.int64)
+    off = 0
+    for i, prim in enumerate(inst_prim):
+        inst_offset[i] = off
+        off += int((prim_of_tri == prim).sum())
+    lt, li, lw = [], [], []
     for i, prim in enumerate(inst_prim):
         idx = np.nonzero(em_prim == prim)[0]
         lt.append(idx.astype(np.int32))
         li.append(np.full(idx.shape[0], i, np.int32))
+        k = idx - (idx[0] if idx.size else 0)
+        lw.append((inst_offset[i] + k).astype(np.int32))
     lt = np.concatenate(lt) if lt else np.zeros((0,), np.int32)
     li = np.concatenate(li) if li else np.zeros((0,), np.int32)
+    lw = np.concatenate(lw) if lw else np.zeros((0,), np.int32)
 
     return SceneBuffers(
         positions=jnp.asarray(positions),
@@ -279,6 +296,7 @@ def build_scene(
         emissive_prim=jnp.asarray(em_prim),
         light_tri=jnp.asarray(lt),
         light_inst=jnp.asarray(li),
+        light_world_tri=jnp.asarray(lw),
     )
 
 

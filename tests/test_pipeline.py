@@ -12,7 +12,7 @@ from sunray_tpu.scene import cornell_box
 
 W, H = 64, 48
 
-CAM = Camera(position=(1.0, 1.0, 4.4), target=(1.0, 1.0, 0.0), fov_y=50.0)
+CAM = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
 
 
 def small_cfg(**kw):
@@ -51,8 +51,8 @@ class TestNeeMode:
         assert ldr.mean() > 0.02
         # Left wall red, right wall green: compare column tints in the
         # interior rows.
-        left = ldr[H // 2, 2:6].mean(axis=0)
-        right = ldr[H // 2, -6:-2].mean(axis=0)
+        left = ldr[H // 2, 4:10].mean(axis=0)
+        right = ldr[H // 2, -10:-4].mean(axis=0)
         assert left[0] > left[1], f"left wall should be red-ish, got {left}"
         assert right[1] > right[0], f"right wall should be green-ish, got {right}"
 
