@@ -1,0 +1,98 @@
+"""Benchmark: rays/sec/chip on the 1080p Cornell box (BASELINE.md config).
+
+Runs the full ReSTIR pipeline (RIS pass + final trace + TAA + 4x denoise +
+postprocess) on the default device (TPU under the driver), measures steady
+frame time, and converts to rays/s using the actual per-frame trace count:
+
+  rays/frame = P * (ris_walk_rounds        # closest-hit rounds, pass 1
+               + 3                          # DI visibility + GI bounce + GI NEE
+               + final_walk_rounds          # closest-hit rounds, pass 2
+               + 2 + gi_spatial_samples)    # DI winner + GI spatial + GI final
+
+Walk round counts are data-dependent (early-exit while_loops) and are read
+back from the frame aux. `vs_baseline` is rays/s divided by 1e8 (100 Mray/s,
+an RTX 3060 Ti-class ballpark for this ray budget — the reference publishes
+no numbers, BASELINE.md "Reference-published numbers").
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Keep the driver's default platform (TPU via axon); allow override.
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import numpy as np
+
+from sunray_tpu.camera import Camera, camera_matrices
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.pipeline import RenderState, render_frame
+from sunray_tpu.scene import cornell_box
+
+
+def main():
+    small = "--small" in sys.argv
+    w, h = (480, 270) if small else (1920, 1080)
+    cfg = RenderConfig(width=w, height=h, lighting="restir")
+    scene = cornell_box()
+    cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
+    mats = camera_matrices(cam, w, h)
+    state = RenderState.create(cfg)
+
+    step = jax.jit(
+        lambda st: render_frame(scene, cfg, st, mats), donate_argnums=(0,)
+    )
+
+    # Warm-up: compile + fill temporal history.
+    n_warm = 5
+    t0 = time.time()
+    aux = None
+    for _ in range(n_warm):
+        state, ldr, aux = step(state)
+    jax.block_until_ready(ldr)
+    compile_and_warm = time.time() - t0
+
+    # Timed steady-state frames.
+    n_bench = 20
+    t0 = time.time()
+    for _ in range(n_bench):
+        state, ldr, aux = step(state)
+    jax.block_until_ready(ldr)
+    dt = (time.time() - t0) / n_bench
+
+    ris_rounds = int(aux["ris_rounds"])
+    final_rounds = int(aux["final_rounds"])
+    p = w * h
+    rays_per_frame = p * (
+        ris_rounds + 3 + final_rounds + 2 + cfg.gi_spatial_samples
+    )
+    rays_per_sec = rays_per_frame / dt
+
+    result = {
+        "metric": "rays_per_sec_per_chip_cornell_1080p",
+        "value": round(rays_per_sec / 1e6, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(rays_per_sec / 1e8, 4),
+        "detail": {
+            "frame_ms": round(dt * 1e3, 2),
+            "rays_per_frame": rays_per_frame,
+            "ris_rounds": ris_rounds,
+            "final_rounds": final_rounds,
+            "resolution": f"{w}x{h}",
+            "device": str(jax.devices()[0]),
+            "warmup_s": round(compile_and_warm, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,19 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_sqrt(x, eps=1e-20):
+    """sqrt with a finite gradient at 0 (grad of sqrt(max(x,0)) is inf at 0,
+    which turns into NaN through masked `where` branches in reverse mode)."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
+def vec_norm(v, eps=1e-20):
+    """Gradient-safe vector norm."""
+    return safe_sqrt(jnp.sum(v * v, axis=-1), eps)
+
+
 def normalize(v, eps=0.0):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = vec_norm(v)[..., None]
     if eps:
         n = jnp.maximum(n, eps)
     return v / n
@@ -34,8 +45,7 @@ def refract(i, n, eta):
     cosi = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     tir = k < 0.0
-    k = jnp.maximum(k, 0.0)
-    r = eta[..., None] * i - (eta * cosi + jnp.sqrt(k))[..., None] * n
+    r = eta[..., None] * i - (eta * cosi + safe_sqrt(k))[..., None] * n
     return jnp.where(tir[..., None], 0.0, r)
 
 
@@ -82,7 +92,7 @@ def cosine_hemisphere(normal, r1, r2):
     d = (
         u * (jnp.cos(phi) * r)[..., None]
         + v * (jnp.sin(phi) * r)[..., None]
-        + normal * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None]
+        + normal * safe_sqrt(1.0 - r2)[..., None]
     )
     return normalize(d)
 
@@ -139,7 +149,7 @@ def eval_unshadowed_light(
     Returns (..., 3) RGB.
     """
     l = light_pos - hit_pos
-    dist = jnp.maximum(jnp.linalg.norm(l, axis=-1), 1e-4)
+    dist = jnp.maximum(vec_norm(l), 1e-4)
     l = l / dist[..., None]
 
     NdotL = jnp.maximum(dot(hit_normal, l), 0.0)
@@ -176,7 +186,7 @@ def luminance_max(rgb):
 def gi_target_pdf(shade_pos, shade_normal, albedo, metallic, sample_pos, sample_radiance):
     """rt_utils.slang:255-263."""
     w = sample_pos - shade_pos
-    d = jnp.maximum(jnp.linalg.norm(w, axis=-1), 1e-4)
+    d = jnp.maximum(vec_norm(w), 1e-4)
     w = w / d[..., None]
     NdotL = jnp.maximum(dot(shade_normal, w), 0.0)
     f_diffuse = albedo * (1.0 - metallic[..., None]) / PI

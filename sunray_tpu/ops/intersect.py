@@ -55,7 +55,10 @@ def moller_trumbore(orig, d, v0, v1, v2, tmin, tmax):
     e2 = v2 - v0
     pvec = jnp.cross(d[:, None, :], e2[None, :, :])          # (B, T, 3)
     det = jnp.sum(e1[None] * pvec, axis=-1)                  # (B, T)
-    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    # Grad-safe reciprocal: 1/det with det ~ 0 in the masked branch would
+    # produce inf whose cotangent is NaN through `where`.
+    det_safe = jnp.where(jnp.abs(det) > DET_EPS, det, 1.0)
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det_safe, 0.0)
     tvec = orig[:, None, :] - v0[None]                        # (B, T, 3)
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1[None, :, :])
@@ -183,7 +186,7 @@ def hit_attributes(tris, orig, d, tri_id):
     e2 = v2 - v0
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > DET_EPS, det, DET_EPS)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > DET_EPS, det, jnp.float32(DET_EPS))
     tvec = orig - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)

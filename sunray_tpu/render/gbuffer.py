@@ -31,8 +31,10 @@ from sunray_tpu.ops.brdf import (
     normalize,
     reflect,
     refract,
+    vec_norm,
     PI,
 )
+from sunray_tpu.ops.loops import bounded_loop
 from sunray_tpu.render import restir
 from sunray_tpu.render.shade import shade_hits
 from sunray_tpu.render.trace import trace_closest, trace_occluded
@@ -78,7 +80,7 @@ def transmissive_bounce(seed, ray_d, surf_normal, surf_ior, surf_pos):
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     fresnel = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
     refracted = refract(ray_d, n, eta)
-    tir = jnp.linalg.norm(refracted, axis=-1) < 0.01
+    tir = vec_norm(refracted) < 0.01
     fresnel = jnp.where(tir, 1.0, fresnel)
     seed, u = rng_mod.rnd(seed)
     reflects = u < fresnel
@@ -154,7 +156,7 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
             v_view=sel3(rec, -c["ray_d"], c["v_view"]),
         )
 
-    c = jax.lax.while_loop(cond, body, init)
+    c = bounded_loop(cond, body, init, cfg.virtual_bounces, cfg.differentiable)
     return c
 
 
@@ -201,6 +203,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         motion=jnp.where(found[:, None], motion, 0.0),
     )
 
+    walk_rounds = walk["i"]
     hitd = PrimaryHit(
         found=found,
         pos=walk["pos"],
@@ -215,7 +218,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     )
 
     if cfg.lighting != "restir" or lights.num == 0:
-        return gbuf, restir.ReservoirDI.empty(p), restir.ReservoirGI.empty(p), hitd
+        return gbuf, restir.ReservoirDI.empty(p), restir.ReservoirGI.empty(p), hitd, walk_rounds
 
     # --- Phase 2: RIS + temporal + visibility (DI) ---
     enable_di = found & (walk["roughness"] > 0.2)
@@ -233,7 +236,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
 
     # Visibility reuse (ray_gen_ris.slang:277-302).
     vis_vec = r_di.light_pos - walk["pos"]
-    vis_dist = jnp.maximum(jnp.linalg.norm(vis_vec, axis=-1), 1e-4)
+    vis_dist = jnp.maximum(vec_norm(vis_vec), 1e-4)
     vis_dir = vis_vec / vis_dist[:, None]
     facing = dot(walk["normal"], vis_dir) > 0.0
     occluded = trace_occluded(
@@ -278,7 +281,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     seed, n1, n2 = rng_mod.rnd2(seed)
     nee_pos, nee_normal, nee_em, nee_area = lights.sample_point(nee_idx, n1, n2)
     to_light = nee_pos - sample_pos
-    nee_dist = jnp.maximum(jnp.linalg.norm(to_light, axis=-1), 1e-4)
+    nee_dist = jnp.maximum(vec_norm(to_light), 1e-4)
     to_light = to_light / nee_dist[:, None]
     nee_cos_surf = jnp.maximum(dot(sample_normal, to_light), 0.0)
     nee_cos_light = jnp.maximum(dot(nee_normal, -to_light), 0.0)
@@ -337,4 +340,4 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         restir.ReservoirGI.empty(p),
     )
 
-    return gbuf, r_di, r_gi, hitd
+    return gbuf, r_di, r_gi, hitd, walk_rounds

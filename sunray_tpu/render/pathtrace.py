@@ -36,7 +36,9 @@ from sunray_tpu.ops.brdf import (
     reflect,
     sample_ggx_vndf,
     smith_g1_ggx,
+    vec_norm,
 )
+from sunray_tpu.ops.loops import bounded_loop
 from sunray_tpu.render import restir
 from sunray_tpu.render.gbuffer import transmissive_bounce
 from sunray_tpu.render.shade import shade_hits
@@ -154,7 +156,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             seed2, n1, n2 = rng_mod.rnd2(seed2)
             lpos, lnrm, lem, larea = lights.sample_point(lidx, n1, n2)
             sdir = lpos - surf.pos
-            ldist = jnp.maximum(jnp.linalg.norm(sdir, axis=-1), 1e-6)
+            ldist = jnp.maximum(vec_norm(sdir), 1e-6)
             sdir = sdir / ldist[:, None]
             cos_l = jnp.maximum(dot(lnrm, -sdir), 0.0)
             cos_s = jnp.maximum(dot(surf.normal, sdir), 0.0)
@@ -200,9 +202,12 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
         alpha_b = roughness * roughness
         g1 = smith_g1_ggx(ndl_b, alpha_b)
         tp_spec = fres * (g1 / p_spec)[:, None]
+        # Denominator guard: p_spec clips to 1.0 at grazing/dead lanes
+        # (fres -> 1); the diffuse branch is then never selected, but its
+        # 1/(1-p_spec) would still poison gradients through `where`.
         tp_diff = (
             surf.albedo * (1.0 - metallic[:, None]) * (1.0 - fres)
-            / (1.0 - p_spec)[:, None]
+            / jnp.maximum(1.0 - p_spec, 1e-4)[:, None]
         )
 
         use_spec = pick_spec & spec_ok
@@ -251,7 +256,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             f_throughput=_sel3(frz, throughput, c["f_throughput"]),
         )
 
-    c = jax.lax.while_loop(cond, body, init)
+    c = bounded_loop(cond, body, init, cfg.bounces, cfg.differentiable)
     radiance = c["radiance"]
     seed = c["seed"]
 
@@ -262,7 +267,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
         )
 
     # total_radiance = min(radiance, 10) (ray_gen_final.slang:430-431).
-    return jnp.minimum(radiance, cfg.radiance_clamp)
+    return jnp.minimum(radiance, cfg.radiance_clamp), c["i"]
 
 
 def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
@@ -289,7 +294,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
 
     gnormal = gbuf.normal
     gdepth = gbuf.depth
-    current_depth = jnp.linalg.norm(pos - cam_origin, axis=-1)
+    current_depth = vec_norm(pos - cam_origin)
 
     def neighbor_ok(nx, ny):
         inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
@@ -353,7 +358,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
 
     sdir = spatial.light_pos - pos
-    sdist = jnp.maximum(jnp.linalg.norm(sdir, axis=-1), 1e-4)
+    sdist = jnp.maximum(vec_norm(sdir), 1e-4)
     sdir = sdir / sdist[:, None]
     facing = dot(normal, sdir) > 0.0
     occ = trace_occluded(
@@ -402,15 +407,15 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             [nd, jnp.ones((p, 1)), jnp.ones((p, 1))], axis=-1
         )
         tgt = einsum32("ij,nj->ni", proj_inverse, clip)[:, :3]
-        tgt = tgt / jnp.linalg.norm(tgt, axis=-1, keepdims=True)
+        tgt = tgt / vec_norm(tgt)[:, None]
         ndir = einsum32("ij,nj->ni", view_inverse[:3, :3], tgt)
         n_depth = gdepth[ni]
         neighbor_x1 = cam_origin + ndir * n_depth[:, None]
 
         w_new = nr.sample_pos - pos
         w_old = nr.sample_pos - neighbor_x1
-        d_new = jnp.maximum(jnp.linalg.norm(w_new, axis=-1), 1e-4)
-        d_old = jnp.maximum(jnp.linalg.norm(w_old, axis=-1), 1e-4)
+        d_new = jnp.maximum(vec_norm(w_new), 1e-4)
+        d_old = jnp.maximum(vec_norm(w_old), 1e-4)
         n_x2 = nr.sample_normal
         cos_new = jnp.maximum(dot(n_x2, -w_new / d_new[:, None]), 0.0)
         cos_old = jnp.maximum(dot(n_x2, -w_old / d_old[:, None]), 0.0)
@@ -447,7 +452,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     w_gi = jnp.minimum(w_gi, cfg.gi_spatial_w_clamp)
 
     gvec = combined.sample_pos - pos
-    gdist = jnp.maximum(jnp.linalg.norm(gvec, axis=-1), 1e-4)
+    gdist = jnp.maximum(vec_norm(gvec), 1e-4)
     gdir = gvec / gdist[:, None]
     gndl = jnp.maximum(dot(normal, gdir), 0.0)
     try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)

@@ -66,11 +66,11 @@ def render_frame(scene, cfg, state: RenderState, mats):
     tracer = make_tracer(scene, cfg)
     lights = restir.Lights(scene) if scene.num_lights > 0 else None
 
-    gbuf, r_di, r_gi, _hit = ris_pass(
+    gbuf, r_di, r_gi, _hit, ris_rounds = ris_pass(
         scene, cfg, tracer, lights, mats, state.prev_view_proj,
         state.res_di, state.res_gi, frame_count,
     )
-    raw = final_pass(
+    raw, final_rounds = final_pass(
         scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count
     )
 
@@ -112,6 +112,10 @@ def render_frame(scene, cfg, state: RenderState, mats):
         "normal": gbuf.normal.reshape(h, w, 3),
         "diffuse": gbuf.diffuse.reshape(h, w, 3),
         "motion": motion_img,
+        # Full-batch trace rounds actually executed by the two walks
+        # (data-dependent; used by bench.py for honest rays/s accounting).
+        "ris_rounds": ris_rounds,
+        "final_rounds": final_rounds,
     }
     return new_state, ldr, aux
 

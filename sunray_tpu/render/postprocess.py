@@ -182,4 +182,6 @@ def tonemap(color, exposure=1.0, mode="aces", gamma=2.2):
         color = aces_film(color)
     else:
         color = jnp.clip(color, 0.0, 1.0)
-    return color ** (1.0 / gamma)
+    # Epsilon floor: d(x^(1/2.2))/dx is infinite at 0, which poisons
+    # gradients of every black pixel. 1e-8^(1/2.2) ~ 2.4e-4, invisible.
+    return jnp.maximum(color, 1e-8) ** (1.0 / gamma)

@@ -26,6 +26,7 @@ from sunray_tpu.ops.brdf import (
     gi_target_pdf,
     luminance_max,
     normalize,
+    vec_norm,
 )
 
 
@@ -138,7 +139,7 @@ class Lights:
         e1 = v1 - v0
         e2 = v2 - v0
         cr = jnp.cross(e1, e2)
-        area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+        area = 0.5 * vec_norm(cr)
         nrm = normalize(cr, eps=1e-12)
         sqr1 = jnp.sqrt(u1)
         u = 1.0 - sqr1

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from sunray_tpu.ops.linalg import einsum32
 
-from sunray_tpu.ops.brdf import normalize
+from sunray_tpu.ops.brdf import normalize, safe_sqrt, vec_norm
 from sunray_tpu.ops.texture import sample_texture
 from sunray_tpu.scene.types import (
     NULL_TEXTURE,
@@ -107,7 +107,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     final_normal = world_normal
 
     # Normal mapping (closest_hit.slang:56-72).
-    has_tangent = jnp.linalg.norm(tangent_obj, axis=-1) > 0.001
+    has_tangent = vec_norm(tangent_obj) > 0.001
     has_normal_tex = tex[:, TEX_NORMAL] != NULL_TEXTURE
     do_nm = has_tangent & has_normal_tex
     rot = scene.inst_transform[inst][:, :, :3]       # (N,3,3) object->world
@@ -129,7 +129,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
         ),
     )[:, :3]
     snm = raw_nm * 2.0 - 1.0
-    snm_z = jnp.sqrt(jnp.clip(1.0 - snm[:, 0] ** 2 - snm[:, 1] ** 2, 0.0, 1.0))
+    snm_z = safe_sqrt(jnp.clip(1.0 - snm[:, 0] ** 2 - snm[:, 1] ** 2, 0.0, 1.0))
     snm = normalize(
         jnp.stack([snm[:, 0], snm[:, 1], snm_z], axis=-1), eps=1e-12
     )

@@ -1,0 +1,143 @@
+"""Pixel-gradient correctness: AD vs central finite differences — the
+BASELINE.md north-star check (camera, vertex, material params)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sunray_tpu.camera import Camera, camera_matrices
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.pipeline import RenderState, render_frame
+from sunray_tpu.scene import cornell_box
+
+W, H = 32, 24
+
+CFG = RenderConfig(
+    width=W, height=H, lighting="nee", bounces=2, virtual_bounces=2,
+    denoise_passes=0, enable_taa=False, differentiable=True,
+    tonemap="none",
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()
+
+
+def render_loss(scene, cam_pos=None):
+    """Mean-luminance loss of one frame. cam_pos overrides the camera eye."""
+    pos = cam_pos if cam_pos is not None else jnp.asarray([1.0, 1.0, 3.4])
+    cam = Camera(position=pos, target=(1.0, 1.0, 0.0), fov_y=45.0)
+    mats = camera_matrices(cam, W, H)
+    st = RenderState.create(CFG)
+    _, ldr, _ = render_frame(scene, CFG, st, mats)
+    return jnp.mean(ldr)
+
+
+def central_fd(f, x0, eps):
+    x0 = np.asarray(x0, np.float64)
+    g = np.zeros_like(x0)
+    it = np.nditer(x0, flags=["multi_index"])
+    for _ in it:
+        idx = it.multi_index
+        xp = x0.copy(); xp[idx] += eps
+        xm = x0.copy(); xm[idx] -= eps
+        g[idx] = (float(f(jnp.asarray(xp, jnp.float32)))
+                  - float(f(jnp.asarray(xm, jnp.float32)))) / (2 * eps)
+    return g
+
+
+class TestMaterialGrads:
+    def test_base_color_fd(self, scene):
+        base = np.asarray(scene.materials.base_color)
+
+        @jax.jit
+        def loss(bc):
+            sc = scene.replace(
+                materials=scene.materials.replace(base_color=bc)
+            )
+            return render_loss(sc)
+
+        g_ad = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(base)))
+        assert np.isfinite(g_ad).all()
+
+        # FD on the white material's red channel and green wall's green.
+        for prim, chan in [(0, 0), (2, 1)]:
+            def f1(v, prim=prim, chan=chan):
+                b = base.copy()
+                b[prim, chan] = float(v)
+                return loss(jnp.asarray(b))
+            eps = 1e-2
+            fd = (float(f1(base[prim, chan] + eps))
+                  - float(f1(base[prim, chan] - eps))) / (2 * eps)
+            ad = g_ad[prim, chan]
+            assert fd != 0.0
+            np.testing.assert_allclose(ad, fd, rtol=0.15)
+
+    def test_emission_strength_fd(self, scene):
+        ef = np.asarray(scene.materials.emissive_factor)
+
+        @jax.jit
+        def loss(e):
+            sc = scene.replace(
+                materials=scene.materials.replace(emissive_factor=e),
+                emissive_rgb=e[scene.emissive_prim, :3] * e[scene.emissive_prim, 3:4],
+            )
+            return render_loss(sc)
+
+        g_ad = np.asarray(jax.grad(loss)(jnp.asarray(ef)))
+        assert np.isfinite(g_ad).all()
+        # d loss / d strength of the light material (prim 3, w component)
+        eps = 0.1
+        ep = ef.copy(); ep[3, 3] += eps
+        em = ef.copy(); em[3, 3] -= eps
+        fd = (float(loss(jnp.asarray(ep))) - float(loss(jnp.asarray(em)))) / (2 * eps)
+        assert fd > 0.0  # brighter light -> brighter image
+        np.testing.assert_allclose(g_ad[3, 3], fd, rtol=0.15)
+
+
+class TestCameraGrads:
+    def test_camera_position_fd(self, scene):
+        @jax.jit
+        def loss(pos):
+            return render_loss(scene, cam_pos=pos)
+
+        x0 = np.asarray([1.0, 1.0, 3.4], np.float32)
+        g_ad = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(x0)))
+        assert np.isfinite(g_ad).all()
+        # AD carries *shading* gradients; FD along x/y at this resolution is
+        # dominated by silhouette pixels crossing wall edges (visibility
+        # discontinuities AD intentionally doesn't differentiate —
+        # SURVEY.md section 7 M7). The z dolly direction is smooth: require
+        # a tight match there.
+        eps = 2e-3
+        fd = central_fd(lambda p: loss(p), x0, eps)
+        np.testing.assert_allclose(g_ad[2], fd[2], rtol=0.1)
+
+
+class TestVertexGrads:
+    def test_light_height_fd(self, scene):
+        """Moving the light down increases floor irradiance — shading
+        gradient through emissive triangle positions."""
+        pos0 = np.asarray(scene.positions)
+        light_verts = np.unique(
+            np.asarray(scene.tri_vidx)[
+                np.asarray(scene.emissive_prim)[0]
+                == np.asarray(scene.inst_prim)[np.asarray(scene.tri_inst)]
+            ]
+        )
+
+        @jax.jit
+        def loss(dy):
+            p = jnp.asarray(pos0).at[jnp.asarray(light_verts), 1].add(dy)
+            em_v = scene.emissive_v.at[:, :, 1].add(dy)
+            sc = scene.replace(positions=p, emissive_v=em_v)
+            return render_loss(sc)
+
+        g_ad = float(jax.grad(loss)(0.0))
+        assert np.isfinite(g_ad)
+        eps = 5e-3
+        fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
+        assert fd != 0.0
+        np.testing.assert_allclose(g_ad, fd, rtol=0.3)
