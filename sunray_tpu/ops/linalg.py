@@ -17,3 +17,20 @@ def einsum32(subscripts, *operands):
     return jnp.einsum(
         subscripts, *operands, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def gather_vec(table, idx):
+    """Gather rows of a small-component table by index — TPU-layout safe.
+
+    `table[idx]` with table (K, C...) and small C materializes a (N, C...)
+    buffer whose trailing dims get padded to the (8, 128) tile — a 25-60x
+    HBM expansion that OOMs 1080p frames (observed: a (P,3,5,2) UV gather
+    padding 237MB to 9.9GB). Decomposing into C independent 1-D gathers
+    keeps every materialized buffer (N,)-shaped (padding-free); the final
+    stack is an elementwise producer XLA fuses into consumers.
+    """
+    comp_shape = table.shape[1:]
+    flat = table.reshape(table.shape[0], -1)
+    cols = [flat[:, c][idx] for c in range(flat.shape[1])]
+    out = jnp.stack(cols, axis=-1)
+    return out.reshape(idx.shape + comp_shape)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from sunray_tpu.ops import rng as rng_mod
+from sunray_tpu.ops.linalg import gather_vec
 from sunray_tpu.ops.brdf import (
     eval_unshadowed_light,
     gi_target_pdf,
@@ -128,7 +129,12 @@ class Lights:
 
     def gather(self, idx):
         """Light triangles by index: (v0, v1, v2, emission), idx (N,)."""
-        return self.v0[idx], self.v1[idx], self.v2[idx], self.emission[idx]
+        return (
+            gather_vec(self.v0, idx),
+            gather_vec(self.v1, idx),
+            gather_vec(self.v2, idx),
+            gather_vec(self.emission, idx),
+        )
 
     def sample_point(self, idx, u1, u2):
         """Area-uniform point on light idx (ray_gen_ris.slang:196-210).
@@ -212,12 +218,13 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
 
 
 def gather_reservoir_di(r: ReservoirDI, idx) -> ReservoirDI:
-    """Gather reservoir lanes at pixel indices idx (history/neighbor reads)."""
-    return jax.tree_util.tree_map(lambda x: x[idx], r)
+    """Gather reservoir lanes at pixel indices idx (history/neighbor reads).
+    Per-component 1-D gathers (see ops.linalg.gather_vec layout note)."""
+    return jax.tree_util.tree_map(lambda x: gather_vec(x, idx), r)
 
 
 def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
-    return jax.tree_util.tree_map(lambda x: x[idx], r)
+    return jax.tree_util.tree_map(lambda x: gather_vec(x, idx), r)
 
 
 def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,

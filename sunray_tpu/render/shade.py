@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import einsum32
+from sunray_tpu.ops.linalg import einsum32, gather_vec
 
 from sunray_tpu.ops.brdf import normalize, safe_sqrt, vec_norm
 from sunray_tpu.ops.texture import sample_texture
@@ -61,7 +61,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     tri = jnp.where(hit.hit, hit.tri, 0)
     inst = scene.tri_inst[tri]                       # (N,)
     prim = scene.inst_prim[inst]                     # (N,)
-    vidx = scene.tri_vidx[tri]                       # (N, 3)
+    vidx = gather_vec(scene.tri_vidx, tri)                       # (N, 3)
 
     u = hit.u
     v = hit.v
@@ -69,9 +69,9 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     # Vertex attribute gathers + barycentric interpolation
     # (closest_hit.slang:31-37, rt_utils.slang:136-147).
-    vn = scene.normals[vidx]                         # (N, 3, 3)
-    vt = scene.tangents[vidx]                        # (N, 3, 4)
-    vuv = scene.uvs[vidx]                            # (N, 3, 5, 2)
+    vn = gather_vec(scene.normals, vidx)                         # (N, 3, 3)
+    vt = gather_vec(scene.tangents, vidx)                        # (N, 3, 4)
+    vuv = gather_vec(scene.uvs, vidx)                            # (N, 3, 5, 2)
     n_obj = einsum32("nk,nkj->nj", bary, vn)
     tangent_obj = einsum32("nk,nkj->nj", bary, vt[..., :3])
     handedness = jnp.where(vt[:, 0, 3] >= 0.0, 1.0, -1.0)  # vertex 0 only
@@ -81,13 +81,13 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     # Materials (MeshInfo analog).
     mats = scene.materials
-    base_color_f = mats.base_color[prim]             # (N, 4)
-    tex = mats.tex_index[prim]                       # (N, 5)
+    base_color_f = gather_vec(mats.base_color, prim)             # (N, 4)
+    tex = gather_vec(mats.tex_index, prim)                       # (N, 5)
 
     base_color = sample_texture(
         scene.textures, tex[:, TEX_BASE_COLOR], uv, base_color_f
     )
-    emissive_factor = mats.emissive_factor[prim]     # (N, 4) rgb + strength
+    emissive_factor = gather_vec(mats.emissive_factor, prim)     # (N, 4) rgb + strength
     emissive_sample = sample_texture(
         scene.textures,
         tex[:, TEX_EMISSIVE],
@@ -100,7 +100,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     # World normal via inverse-transpose (closest_hit.slang:49-50):
     # world_n = normalize((W2O)^T @ n_obj).
-    inv_rot = instance_inverse_rotations(scene.inst_transform)[inst]  # (N,3,3)
+    inv_rot = gather_vec(instance_inverse_rotations(scene.inst_transform), inst)  # (N,3,3)
     world_normal = normalize(
         einsum32("nji,nj->ni", inv_rot, n_obj), eps=1e-12
     )
@@ -110,7 +110,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     has_tangent = vec_norm(tangent_obj) > 0.001
     has_normal_tex = tex[:, TEX_NORMAL] != NULL_TEXTURE
     do_nm = has_tangent & has_normal_tex
-    rot = scene.inst_transform[inst][:, :, :3]       # (N,3,3) object->world
+    rot = gather_vec(scene.inst_transform, inst)[:, :, :3]       # (N,3,3) object->world
     world_tangent = normalize(
         einsum32("nij,nj->ni", rot, tangent_obj), eps=1e-12
     )

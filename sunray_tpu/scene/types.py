@@ -26,7 +26,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import einsum32
+from sunray_tpu.ops.linalg import einsum32, gather_vec
 import numpy as np
 from flax import struct
 
@@ -180,8 +180,8 @@ class SceneBuffers:
 
     def world_triangle_vertices(self):
         """(v0, v1, v2) world-space positions, each (T, 3). Differentiable."""
-        p = self.positions[self.tri_vidx]                  # (T, 3, 3)
-        xf = self.inst_transform[self.tri_inst]            # (T, 3, 4)
+        p = gather_vec(self.positions, self.tri_vidx)      # (T, 3, 3)
+        xf = gather_vec(self.inst_transform, self.tri_inst)  # (T, 3, 4)
         pw = (
             einsum32("tij,tkj->tki", xf[:, :, :3], p)
             + xf[:, None, :, 3]

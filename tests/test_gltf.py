@@ -1,0 +1,78 @@
+"""glTF loader tests against the reference's checked-in GLB assets."""
+
+import os
+
+import numpy as np
+import pytest
+
+ASSETS = "/root/reference/examples/assets"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSETS), reason="reference assets not available"
+)
+
+
+@pytest.fixture(scope="module")
+def room():
+    from sunray_tpu.scene.gltf import load_gltf
+    return load_gltf(os.path.join(ASSETS, "ReflectionRoom.glb"))
+
+
+class TestReflectionRoom:
+    def test_structure(self, room):
+        assert room.num_tris > 0
+        assert room.inst_prim.shape[0] >= 5          # 5 meshes (one has 2 prims)
+        assert room.materials.base_color.shape[0] <= 6
+        # The emissive light (strength 61.6) must be present.
+        ef = np.asarray(room.materials.emissive_factor)
+        assert (ef[:, 3] > 60.0).any()
+        assert room.num_lights > 0
+
+    def test_transmission_material(self, room):
+        tr = np.asarray(room.materials.transmission)
+        assert (tr >= 0.99).any()  # the glass material
+
+    def test_geometry_sane(self, room):
+        v0, v1, v2 = room.world_triangle_vertices()
+        v = np.asarray(v0)
+        assert np.isfinite(v).all()
+        # Room scale: tens of units (camera at (13, 30, 25) in the example).
+        ext = v.max(axis=0) - v.min(axis=0)
+        assert (ext > 1.0).all() and (ext < 500.0).all()
+
+    def test_normals_unit(self, room):
+        n = np.asarray(room.normals)
+        ln = np.linalg.norm(n, axis=-1)
+        assert (np.abs(ln - 1.0) < 1e-2).mean() > 0.99
+
+    def test_renders(self, room):
+        import jax
+        from sunray_tpu.camera import Camera, camera_matrices
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.render.pipeline import RenderState, render_frame
+
+        cfg = RenderConfig(
+            width=64, height=48, bounces=3, virtual_bounces=4,
+            ris_candidates=4, di_spatial_samples=2, gi_spatial_samples=1,
+            denoise_passes=1, lighting="restir",
+        )
+        cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                     fov_y=45.0)  # examples/png/main.rs:52-55
+        mats = camera_matrices(cam, cfg.width, cfg.height)
+        state = RenderState.create(cfg)
+        step = jax.jit(lambda st: render_frame(room, cfg, st, mats))
+        for _ in range(3):
+            state, ldr, _ = step(state)
+        img = np.asarray(ldr)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01  # lit scene
+
+
+class TestOtherAssets:
+    @pytest.mark.parametrize("name", ["Room.glb", "Room2.glb", "Room3.glb"])
+    def test_loads(self, name):
+        from sunray_tpu.scene.gltf import load_gltf
+        scene = load_gltf(os.path.join(ASSETS, name))
+        assert scene.num_tris > 0
+        v0, _, _ = scene.world_triangle_vertices()
+        assert np.isfinite(np.asarray(v0)).all()
