@@ -27,6 +27,8 @@ class Renderer:
         self.scene = scene
         self.state = RenderState.create(config)
         self._frame_jit = None
+        self._manager = None
+        self._instances = None
         self._build_frame_fn()
 
     def _build_frame_fn(self):
@@ -42,12 +44,51 @@ class Renderer:
     # -- scene management (load_scene / unload_scene analog, lib.rs:779-857) --
     def load_scene(self, scene, reset_history: bool = True):
         self.scene = scene
+        self._manager = None
+        self._instances = None
         if reset_history:
             self.reset_history()
 
     def load_gltf(self, path: str):
+        """Load a glTF scene and return the caller-owned instance list
+        (lib.rs:779-794 contract: the caller hands instances to each frame;
+        by default the scene's own placements are used)."""
         from sunray_tpu.scene.gltf import load_gltf
-        self.load_scene(load_gltf(path))
+        from sunray_tpu.scene.manager import SceneManager
+
+        scene = load_gltf(path)
+        self._manager = SceneManager.from_scene_buffers(scene)
+        self._instances = self._manager.default_instances(scene)
+        self.scene = self._manager.build(self._instances)
+        self.reset_history()
+        return list(self._instances)
+
+    # -- runtime mesh churn (load_mesh/unload_mesh analog, lib.rs:873-973) --
+    def load_mesh(self, key, positions, normals, tri_vidx, material,
+                  tangents=None, uvs=None):
+        from sunray_tpu.scene.manager import SceneManager
+
+        if self._manager is None:
+            self._manager = SceneManager()
+            self._instances = []
+        self._manager.add_mesh(
+            key, positions, normals, tri_vidx, material, tangents, uvs
+        )
+
+    def unload_mesh(self, key):
+        self._manager.remove_mesh(key)
+        self._instances = [
+            (k, t) for k, t in (self._instances or []) if k != key
+        ]
+        self.scene = self._manager.build(self._instances)
+
+    def set_instances(self, instances):
+        """Update the per-frame instance list [(mesh key, (3,4) transform)].
+        Capacity padding keeps array shapes stable for small churn, so the
+        compiled frame program is reused (the arena/deferred-build analog of
+        lib.rs:873-973 — no stall on spawn/despawn)."""
+        self._instances = list(instances)
+        self.scene = self._manager.build(self._instances)
 
     def reset_history(self):
         """Temporal-state reset (resize/scene-change semantics, lib.rs:639)."""
@@ -61,8 +102,13 @@ class Renderer:
         self.reset_history()
 
     # -- rendering --
-    def render(self, camera: Camera):
-        """One frame -> (H, W, 3) float32 LDR in [0,1]. Advances state."""
+    def render(self, camera: Camera, instances=None):
+        """One frame -> (H, W, 3) float32 LDR in [0,1]. Advances state.
+
+        instances: optional caller-owned [(mesh key, transform)] list for
+        this frame (the render(..., instances) contract, lib.rs:984)."""
+        if instances is not None:
+            self.set_instances(instances)
         if self.scene is None:
             raise RuntimeError("no scene loaded")
         mats = camera_matrices(camera, self.config.width, self.config.height)
