@@ -86,7 +86,11 @@ class RenderConfig:
     tracer: str = "auto"               # "auto" | "brute" | "bvh"
     brute_force_max_tris: int = 512
     bvh_leaf_size: int = 4
-    trace_block_rays: int = 512        # rays per Pallas trace block
+    # Rays per trace block (lax.map step). Too small serializes the frame
+    # into thousands of micro-kernels (observed 4.7 s/frame at 4096); large
+    # blocks amortize launch overhead while keeping (B, T) intermediates
+    # bounded.
+    trace_block_rays: int = 1 << 18
 
     # Differentiability: when True the frame function avoids non-differentiable
     # packing in hot paths and stops gradients only through discrete choices.

@@ -31,10 +31,9 @@ intersect.hit_attributes.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from sunray_tpu.ops import intersect
 
@@ -42,7 +41,8 @@ STACK_DEPTH = 64
 TRAVERSE_BLOCK = 8192  # rays per vmapped block (stack memory = block*64*4B)
 
 
-class Bvh(NamedTuple):
+@struct.dataclass
+class Bvh:
     # Topology: N_leaves leaves, N_leaves-1 internal nodes.
     # Node ids: [0, NL-2] internal, [NL-1, 2*NL-2] leaves (leaf k at NL-1+k).
     child_l: jnp.ndarray     # (NL-1,) int32 node id
@@ -50,11 +50,14 @@ class Bvh(NamedTuple):
     node_min: jnp.ndarray    # (2*NL-1, 3)
     node_max: jnp.ndarray    # (2*NL-1, 3)
     leaf_tri: jnp.ndarray    # (NL, K) int32 original triangle ids, -1 pad
-    num_leaves: int          # static
-
-    @property
-    def root(self):
-        return 0 if self.num_leaves > 1 else self.child_l.shape[0]  # unused
+    # Contiguous leaf range [first, last] covered by each internal node
+    # (both Karras and DFS-ordered SAH trees have this property) — lets
+    # refit_bvh recompute all node boxes from moved vertices without
+    # rebuilding topology (the AS UPDATE op, accel.rs:213-277 analog).
+    range_first: jnp.ndarray  # (NL-1,) int32
+    range_last: jnp.ndarray   # (NL-1,) int32
+    # Static (non-pytree) so jit treats traversal structure as compile-time.
+    num_leaves: int = struct.field(pytree_node=False)
 
 
 def _morton3(x, y, z):
@@ -132,6 +135,8 @@ def build_bvh(tris, leaf_size: int = 4) -> Bvh:
             node_min=leaf_min,
             node_max=leaf_max,
             leaf_tri=tri_ids,
+            range_first=jnp.zeros((0,), jnp.int32),
+            range_last=jnp.zeros((0,), jnp.int32),
             num_leaves=1,
         )
 
@@ -199,7 +204,24 @@ def build_bvh(tris, leaf_size: int = 4) -> Bvh:
     child_l = jnp.where(left_is_leaf, leaf_base + gamma, gamma)
     child_r = jnp.where(right_is_leaf, leaf_base + gamma + 1, gamma + 1)
 
-    # Node AABBs via sparse-table range min/max over [first, last].
+    node_min, node_max = _range_boxes(leaf_min, leaf_max, first, last)
+
+    return Bvh(
+        child_l=child_l.astype(jnp.int32),
+        child_r=child_r.astype(jnp.int32),
+        node_min=node_min,
+        node_max=node_max,
+        leaf_tri=tri_ids,
+        range_first=first.astype(jnp.int32),
+        range_last=last.astype(jnp.int32),
+        num_leaves=nl,
+    )
+
+
+def _range_boxes(leaf_min, leaf_max, first, last):
+    """All node AABBs from leaf AABBs + internal [first, last] leaf ranges,
+    via a sparse table of pairwise min/max (O(N log N), no propagation)."""
+    n = leaf_min.shape[0]
     levels = max(1, (n - 1).bit_length())
     mins = [leaf_min]
     maxs = [leaf_max]
@@ -213,11 +235,6 @@ def build_bvh(tris, leaf_size: int = 4) -> Bvh:
     maxs = jnp.stack(maxs)
 
     length = last - first + 1
-    lev = jnp.maximum(
-        jnp.ceil(jnp.log2(length.astype(jnp.float32))).astype(jnp.int32) - 0,
-        0,
-    )
-    # level = floor(log2(length))
     flev = (31 - _clz32(length.astype(jnp.uint32))).astype(jnp.int32)
     span = (1 << flev).astype(jnp.int32)
     a0 = first
@@ -227,15 +244,30 @@ def build_bvh(tris, leaf_size: int = 4) -> Bvh:
 
     node_min = jnp.concatenate([node_min_i, leaf_min], axis=0)
     node_max = jnp.concatenate([node_max_i, leaf_max], axis=0)
+    return node_min, node_max
 
-    return Bvh(
-        child_l=child_l.astype(jnp.int32),
-        child_r=child_r.astype(jnp.int32),
-        node_min=node_min,
-        node_max=node_max,
-        leaf_tri=tri_ids,
-        num_leaves=nl,
+
+def refit_bvh(bvh: Bvh, tris) -> Bvh:
+    """Recompute all node AABBs for moved vertices with fixed topology —
+    the AS UPDATE op (accel.rs:213-277): leaf boxes from the (new) world
+    triangles, internal boxes via the range sparse table."""
+    v0, v1, v2 = (jax.lax.stop_gradient(v) for v in tris)
+    ids = bvh.leaf_tri
+    valid = (ids >= 0)[:, :, None]
+    gids = jnp.maximum(ids, 0)
+    a = v0[gids]
+    b = v1[gids]
+    c = v2[gids]
+    tmin = jnp.where(valid, jnp.minimum(jnp.minimum(a, b), c), jnp.inf)
+    tmax = jnp.where(valid, jnp.maximum(jnp.maximum(a, b), c), -jnp.inf)
+    leaf_min = jnp.min(tmin, axis=1)
+    leaf_max = jnp.max(tmax, axis=1)
+    if bvh.num_leaves == 1:
+        return bvh.replace(node_min=leaf_min, node_max=leaf_max)
+    node_min, node_max = _range_boxes(
+        leaf_min, leaf_max, bvh.range_first, bvh.range_last
     )
+    return bvh.replace(node_min=node_min, node_max=node_max)
 
 
 def _aabb_hit(o, inv_d, bmin, bmax, tmin, tmax):

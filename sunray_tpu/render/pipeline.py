@@ -55,15 +55,16 @@ class RenderState:
         )
 
 
-def render_frame(scene, cfg, state: RenderState, mats):
+def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     """One frame. mats: camera matrices dict from camera_matrices().
 
-    Returns (new_state, ldr_image (H, W, 3) in [0, 1], aux dict).
+    accel: optional prebuilt BVH topology (refit inside, see
+    trace.make_tracer). Returns (new_state, ldr (H, W, 3) in [0,1], aux).
     """
     w, h = cfg.width, cfg.height
     frame_count = state.frame_count
 
-    tracer = make_tracer(scene, cfg)
+    tracer = make_tracer(scene, cfg, accel)
     lights = restir.Lights(scene) if scene.num_lights > 0 else None
 
     gbuf, r_di, r_gi, _hit, ris_rounds = ris_pass(

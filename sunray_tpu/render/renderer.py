@@ -29,17 +29,44 @@ class Renderer:
         self._frame_jit = None
         self._manager = None
         self._instances = None
+        self._accel = None
+        self._accel_for = None
         self._build_frame_fn()
 
     def _build_frame_fn(self):
         cfg = self.config
 
-        def step(scene, state, mats):
-            return render_frame(scene, cfg, state, mats)
+        def step(scene, state, mats, accel):
+            return render_frame(scene, cfg, state, mats, accel)
 
         # Donate the state: temporal buffers update in place, the analog of
         # the reference's persistent temporal resources (graph.rs:235-266).
         self._frame_jit = jax.jit(step, donate_argnums=(1,))
+
+    def _scene_accel(self):
+        """Host-side quality BVH for the current scene (the SLOW_BUILD op):
+        native binned-SAH when the toolchain is available, cached per scene
+        object; transform animation is handled by in-jit refit."""
+        if self.scene is None:
+            return None
+        cfg = self.config
+        use_bvh = cfg.tracer == "bvh" or (
+            cfg.tracer == "auto"
+            and self.scene.num_tris > cfg.brute_force_max_tris
+        )
+        if not use_bvh:
+            return None
+        if self._accel_for is not self.scene:
+            import numpy as np
+            from sunray_tpu.native import build_sah_bvh
+
+            tris = self.scene.world_triangle_vertices()
+            self._accel = build_sah_bvh(
+                np.asarray(tris[0]), np.asarray(tris[1]), np.asarray(tris[2]),
+                leaf_size=cfg.bvh_leaf_size,
+            )
+            self._accel_for = self.scene
+        return self._accel
 
     # -- scene management (load_scene / unload_scene analog, lib.rs:779-857) --
     def load_scene(self, scene, reset_history: bool = True):
@@ -112,7 +139,9 @@ class Renderer:
         if self.scene is None:
             raise RuntimeError("no scene loaded")
         mats = camera_matrices(camera, self.config.width, self.config.height)
-        self.state, ldr, _aux = self._frame_jit(self.scene, self.state, mats)
+        self.state, ldr, _aux = self._frame_jit(
+            self.scene, self.state, mats, self._scene_accel()
+        )
         return ldr
 
     def render_to_host_memory(self, camera: Camera, warmup: Optional[int] = None):

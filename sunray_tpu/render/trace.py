@@ -24,20 +24,37 @@ class TracerCtx(NamedTuple):
     block: int                       # ray block size
 
 
-def make_tracer(scene, cfg) -> TracerCtx:
+def make_tracer(scene, cfg, accel=None) -> TracerCtx:
+    """Build the per-frame tracer context.
+
+    accel: optional prebuilt BVH topology (e.g. the native binned-SAH
+    builder's output, or a cached LBVH). When provided, its boxes are
+    refit against the current (differentiable) world triangles — the AS
+    UPDATE path — so instance-transform animation needs no rebuild.
+    """
     tris = scene.world_triangle_vertices()
     n_tris = scene.num_tris
+    if accel is not None:
+        return TracerCtx(
+            tris=tris,
+            bvh=bvh_mod.refit_bvh(accel, tris),
+            block=cfg.trace_block_rays,
+        )
     use_bvh = cfg.tracer == "bvh" or (
         cfg.tracer == "auto" and n_tris > cfg.brute_force_max_tris
     )
-    accel = bvh_mod.build_bvh(tris, leaf_size=cfg.bvh_leaf_size) if use_bvh else None
-    return TracerCtx(tris=tris, bvh=accel, block=cfg.trace_block_rays)
+    bvh = bvh_mod.build_bvh(tris, leaf_size=cfg.bvh_leaf_size) if use_bvh else None
+    return TracerCtx(tris=tris, bvh=bvh, block=cfg.trace_block_rays)
 
 
 def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.T_MAX):
     if ctx.bvh is not None:
-        return bvh_mod.trace_closest_bvh(ctx.bvh, ctx.tris, orig, d, tmin, tmax)
-    return intersect.trace_closest_brute(ctx.tris, orig, d, tmin, tmax)
+        return bvh_mod.trace_closest_bvh(
+            ctx.bvh, ctx.tris, orig, d, tmin, tmax, block=ctx.block
+        )
+    return intersect.trace_closest_brute(
+        ctx.tris, orig, d, tmin, tmax, block=ctx.block
+    )
 
 
 def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
@@ -53,10 +70,12 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     degenerate = tmax - tmin <= intersect.T_MIN
     if ctx.bvh is not None:
         occ = bvh_mod.trace_occluded_bvh(
-            ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude
+            ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude,
+            block=ctx.block,
         )
     else:
         occ = intersect.trace_occluded_brute(
-            ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude
+            ctx.tris, orig, d, tmax - 1e-3, tmin, block=ctx.block,
+            exclude=exclude,
         )
     return occ & ~degenerate

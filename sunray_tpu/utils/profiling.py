@@ -1,0 +1,140 @@
+"""Observability: per-stage timing, HLO dumps, device profiler traces.
+
+The TPU analogs of the reference's tracing/observability surface
+(SURVEY.md section 5.1/5.5):
+
+  - per-pass debug-utils labels (graph.rs:1062-1118) -> named jax.profiler
+    TraceAnnotations inside the frame (already implicit in op names) +
+    stage_timings() wall-clock breakdown;
+  - SUNRAY_GRAPH_DUMP_DIR graph dumps (graph_debug.rs) -> dump_hlo():
+    the frame program's optimized HLO text + a pass/resource summary;
+  - Nsight/Aftermath captures -> jax.profiler.trace() xplane traces
+    viewable in TensorBoard/xprof.
+
+Env flag: SUNRAY_TPU_DUMP_DIR (the SUNRAY_GRAPH_DUMP_DIR analog) — when
+set, Renderer dumps the compiled frame HLO there on first compile.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+import jax
+
+DUMP_DIR_ENV = "SUNRAY_TPU_DUMP_DIR"
+
+
+def dump_hlo(fn, args, path: str, name: str = "frame") -> str:
+    """Save lowered + compiled HLO for fn(*args) under path. Returns the
+    compiled-text file path."""
+    os.makedirs(path, exist_ok=True)
+    lowered = jax.jit(fn).lower(*args)
+    with open(os.path.join(path, f"{name}_lowered.txt"), "w") as f:
+        f.write(lowered.as_text())
+    compiled = lowered.compile()
+    out = os.path.join(path, f"{name}_compiled.txt")
+    with open(out, "w") as f:
+        f.write(compiled.as_text() or "")
+    with open(os.path.join(path, f"{name}_memory.txt"), "w") as f:
+        try:
+            mem = compiled.memory_analysis()
+            f.write(str(mem))
+        except Exception as e:  # pragma: no cover - backend-dependent
+            f.write(f"memory analysis unavailable: {e}")
+    return out
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context (TensorBoard/xprof-compatible)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def stage_timings(scene, cfg, state, mats, accel=None, repeats: int = 3):
+    """Wall-clock per-stage breakdown of one frame, by running incremental
+    prefixes of the pipeline (XLA fuses aggressively, so 'time inside one
+    jitted program per pass' is not observable; prefix deltas are the
+    honest proxy). Returns {stage: seconds}."""
+    import jax.numpy as jnp
+
+    from sunray_tpu.render import restir
+    from sunray_tpu.render.gbuffer import ris_pass
+    from sunray_tpu.render.pathtrace import final_pass
+    from sunray_tpu.render.postprocess import (
+        atrous_denoise,
+        temporal_accumulate,
+        tonemap,
+    )
+    from sunray_tpu.render.trace import make_tracer
+
+    w, h = cfg.width, cfg.height
+
+    def upto_ris(state):
+        tracer = make_tracer(scene, cfg, accel)
+        lights = restir.Lights(scene) if scene.num_lights > 0 else None
+        return ris_pass(
+            scene, cfg, tracer, lights, mats, state.prev_view_proj,
+            state.res_di, state.res_gi, state.frame_count,
+        )[:3]
+
+    def upto_final(state):
+        tracer = make_tracer(scene, cfg, accel)
+        lights = restir.Lights(scene) if scene.num_lights > 0 else None
+        gbuf, r_di, r_gi, _, _ = ris_pass(
+            scene, cfg, tracer, lights, mats, state.prev_view_proj,
+            state.res_di, state.res_gi, state.frame_count,
+        )
+        raw, _ = final_pass(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
+            state.frame_count,
+        )
+        return raw
+
+    def upto_post(state):
+        tracer = make_tracer(scene, cfg, accel)
+        lights = restir.Lights(scene) if scene.num_lights > 0 else None
+        gbuf, r_di, r_gi, _, _ = ris_pass(
+            scene, cfg, tracer, lights, mats, state.prev_view_proj,
+            state.res_di, state.res_gi, state.frame_count,
+        )
+        raw, _ = final_pass(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
+            state.frame_count,
+        )
+        raw_img = raw.reshape(h, w, 3)
+        accum = temporal_accumulate(
+            raw_img, gbuf.motion.reshape(h, w, 2), state.accum,
+            state.frame_count, cfg.accumulation_factor,
+        )
+        den = atrous_denoise(
+            accum, gbuf.depth.reshape(h, w), gbuf.normal.reshape(h, w, 3),
+            gbuf.roughness.reshape(h, w), gbuf.diffuse.reshape(h, w, 3),
+            cfg.denoise_passes,
+        )
+        return tonemap(den, cfg.exposure, cfg.tonemap, cfg.gamma)
+
+    def timed(fn):
+        jfn = jax.jit(fn)
+        out = jfn(state)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(repeats):
+            out = jfn(state)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / repeats
+
+    t_ris = timed(upto_ris)
+    t_final = timed(upto_final)
+    t_post = timed(upto_post)
+    return {
+        "ris_pass": t_ris,
+        "final_pass": max(t_final - t_ris, 0.0),
+        "post_pipeline": max(t_post - t_final, 0.0),
+        "frame_total": t_post,
+    }
