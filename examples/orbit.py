@@ -1,0 +1,81 @@
+"""Interactive-loop example — the examples/window analog.
+
+Renders an orbiting camera over the Cornell box at interactive cadence,
+prints an FPS counter (window/main.rs:185-193), composites a stats overlay
+onto each frame (the egui-overlay analog), and runs the scripted runtime
+instance test: a duplicate mesh instance spawns at frame 24 and despawns at
+frame 48 (window/main.rs:222-234 does this at frames 120/240). Frames are
+written as a PNG sequence (the swapchain-present analog for a headless
+accelerator).
+
+Usage: python examples/orbit.py [--frames 72] [--size 320x240] [--out out/orbit]
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from sunray_tpu.camera import Camera
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.renderer import Renderer
+from sunray_tpu.render.overlay import stats_overlay
+from sunray_tpu.scene import cornell_box
+from sunray_tpu.scene.manager import SceneManager
+from sunray_tpu.scene.types import translate
+from sunray_tpu.utils.png import write_png
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=72)
+    ap.add_argument("--size", default="320x240")
+    ap.add_argument("--out", default="out/orbit")
+    args = ap.parse_args()
+    w, h = (int(x) for x in args.size.split("x"))
+
+    cfg = RenderConfig(width=w, height=h, lighting="restir")
+    scene = cornell_box()
+    r = Renderer(cfg)
+    r._manager = SceneManager.from_scene_buffers(scene)
+    base_instances = r._manager.default_instances(scene)
+    r.scene = r._manager.build(base_instances)
+
+    os.makedirs(args.out, exist_ok=True)
+    fps = 0.0
+    t_prev = time.time()
+    for frame in range(args.frames):
+        angle = 2.0 * np.pi * frame / args.frames
+        eye = (1.0 + 2.6 * np.sin(angle), 1.3, 1.0 + 2.6 * np.cos(angle))
+        cam = Camera(position=eye, target=(1.0, 1.0, 1.0), fov_y=50.0)
+
+        instances = list(base_instances)
+        # Scripted runtime churn (window example analog).
+        if 24 <= frame < 48:
+            smallest = min(
+                base_instances,
+                key=lambda kt: r._manager._meshes[kt[0]].tri_vidx.shape[0],
+            )[0]
+            instances.append((smallest, translate(0.0, -0.8, 0.0)))
+
+        ldr = r.render(cam, instances=instances)
+
+        t_now = time.time()
+        inst_fps = 1.0 / max(t_now - t_prev, 1e-6)
+        fps = inst_fps if fps == 0 else 0.9 * fps + 0.1 * inst_fps
+        t_prev = t_now
+
+        img = stats_overlay(
+            ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], scale=1
+        )
+        write_png(os.path.join(args.out, f"frame_{frame:04d}.png"),
+                  np.asarray(img))
+        if frame % 12 == 0:
+            print(f"frame {frame:4d}  fps {fps:6.2f}")
+
+    print(f"wrote {args.frames} frames to {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Auxiliary subsystems: checkpoint/resume, overlay, profiling dumps."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sunray_tpu.camera import Camera, camera_matrices
+from sunray_tpu.config import RenderConfig
+from sunray_tpu.render.pipeline import RenderState, render_frame
+from sunray_tpu.scene import cornell_box
+from sunray_tpu.utils import checkpoint as ckpt
+
+CFG = RenderConfig(
+    width=48, height=32, bounces=3, virtual_bounces=2, ris_candidates=2,
+    di_spatial_samples=1, gi_spatial_samples=1, denoise_passes=1,
+)
+CAM = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
+
+
+class TestCheckpoint:
+    def test_save_load_resume_exact(self, tmp_path):
+        scene = cornell_box()
+        mats = camera_matrices(CAM, CFG.width, CFG.height)
+        step = jax.jit(lambda st: render_frame(scene, CFG, st, mats))
+
+        state = RenderState.create(CFG)
+        for _ in range(3):
+            state, ldr, _ = step(state)
+
+        path = str(tmp_path / "state.npz")
+        ckpt.save_state(state, path)
+        restored = ckpt.load_state(path, RenderState.create(CFG))
+
+        # Continue both and require identical frames.
+        s1, f1, _ = step(state)
+        s2, f2, _ = step(restored)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        assert int(s1.frame_count) == int(s2.frame_count)
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        state = RenderState.create(CFG)
+        path = str(tmp_path / "state.npz")
+        ckpt.save_state(state, path)
+        other = RenderState.create(CFG.with_size(64, 64))
+        try:
+            ckpt.load_state(path, other)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+class TestOverlay:
+    def test_stats_overlay_draws(self):
+        from sunray_tpu.render.overlay import stats_overlay
+
+        img = jnp.zeros((64, 128, 3))
+        out = stats_overlay(img, ["FPS 12.34", "FRAME 0001"])
+        out = np.asarray(out)
+        assert out.max() > 0.9       # white glyph pixels
+        assert out.shape == (64, 128, 3)
+        # Pixels outside the overlay box untouched.
+        assert out[60:, 100:].max() == 0.0
+
+
+class TestHloDump:
+    def test_dump_hlo(self, tmp_path):
+        from sunray_tpu.utils.profiling import dump_hlo
+
+        scene = cornell_box()
+        mats = camera_matrices(CAM, CFG.width, CFG.height)
+        state = RenderState.create(CFG)
+        out = dump_hlo(
+            lambda st: render_frame(scene, CFG, st, mats)[1],
+            (state,),
+            str(tmp_path),
+        )
+        assert os.path.exists(out)
+        lowered = str(tmp_path / "frame_lowered.txt")
+        assert os.path.getsize(lowered) > 1000
