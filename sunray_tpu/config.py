@@ -92,6 +92,12 @@ class RenderConfig:
     # bounded.
     trace_block_rays: int = 1 << 18
 
+    # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
+    # traced inside the frame; the Renderer auto-sets it from the concrete
+    # scene (scenes without MASK materials keep the tight opaque-only path,
+    # matching the reference's OPAQUE-flagged geometry, blas.rs:276).
+    alpha_mask_tracing: bool = False
+
     # Differentiability: when True the frame function avoids non-differentiable
     # packing in hot paths and stops gradients only through discrete choices.
     differentiable: bool = False

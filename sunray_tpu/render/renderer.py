@@ -68,11 +68,22 @@ class Renderer:
             self._accel_for = self.scene
         return self._accel
 
+    def _sync_scene_flags(self):
+        """Auto-set jit-static flags that depend on the concrete scene
+        (alpha-mask traversal)."""
+        if self.scene is None:
+            return
+        want = bool(self.scene.has_alpha_mask)
+        if want != self.config.alpha_mask_tracing:
+            self.config = self.config.replace(alpha_mask_tracing=want)
+            self._build_frame_fn()
+
     # -- scene management (load_scene / unload_scene analog, lib.rs:779-857) --
     def load_scene(self, scene, reset_history: bool = True):
         self.scene = scene
         self._manager = None
         self._instances = None
+        self._sync_scene_flags()
         if reset_history:
             self.reset_history()
 
@@ -87,6 +98,7 @@ class Renderer:
         self._manager = SceneManager.from_scene_buffers(scene)
         self._instances = self._manager.default_instances(scene)
         self.scene = self._manager.build(self._instances)
+        self._sync_scene_flags()
         self.reset_history()
         return list(self._instances)
 

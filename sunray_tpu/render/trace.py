@@ -1,4 +1,5 @@
-"""Tracer dispatch: one interface over the brute-force and BVH backends.
+"""Tracer dispatch: one interface over the brute-force and BVH backends,
+plus any-hit alpha cutout.
 
 The structural analog of the reference's TLAS handle + TraceRay: passes ask
 for closest-hit or occlusion queries and don't care how traversal happens
@@ -22,6 +23,12 @@ class TracerCtx(NamedTuple):
     tris: tuple                      # (v0, v1, v2) world-space, each (T, 3)
     bvh: Optional[object]            # ops.bvh.Bvh or None for brute force
     block: int                       # ray block size
+    # Alpha-cutout support (any_hit.slang:11-43): None when the scene has no
+    # MASK materials (the common case — reference marks geometry OPAQUE,
+    # blas.rs:276 — so the fast path stays tight), else the scene pytree for
+    # per-hit alpha evaluation.
+    alpha_scene: Optional[object] = None
+    alpha_rounds: int = 4            # max cutout skips per query
 
 
 def make_tracer(scene, cfg, accel=None) -> TracerCtx:
@@ -31,23 +38,65 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
     builder's output, or a cached LBVH). When provided, its boxes are
     refit against the current (differentiable) world triangles — the AS
     UPDATE path — so instance-transform animation needs no rebuild.
+
+    Alpha-masked traversal is a jit-static decision (cfg.alpha_mask_tracing,
+    auto-set by the Renderer from the concrete scene) because the scene is
+    traced inside the frame function.
     """
     tris = scene.world_triangle_vertices()
     n_tris = scene.num_tris
+    alpha_scene = scene if getattr(cfg, "alpha_mask_tracing", False) else None
     if accel is not None:
         return TracerCtx(
             tris=tris,
             bvh=bvh_mod.refit_bvh(accel, tris),
             block=cfg.trace_block_rays,
+            alpha_scene=alpha_scene,
         )
     use_bvh = cfg.tracer == "bvh" or (
         cfg.tracer == "auto" and n_tris > cfg.brute_force_max_tris
     )
     bvh = bvh_mod.build_bvh(tris, leaf_size=cfg.bvh_leaf_size) if use_bvh else None
-    return TracerCtx(tris=tris, bvh=bvh, block=cfg.trace_block_rays)
+    return TracerCtx(
+        tris=tris, bvh=bvh, block=cfg.trace_block_rays, alpha_scene=alpha_scene
+    )
 
 
-def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.T_MAX):
+def ctx_block(cfg) -> int:
+    return cfg.trace_block_rays
+
+
+def _alpha_accepts(scene, tri, u, v):
+    """Any-hit alpha test (any_hit.slang:11-43): True = hit accepted.
+
+    OPAQUE materials accept immediately; MASK materials sample base color
+    alpha at the interpolated base-color UV and reject below the cutoff.
+    """
+    import jax.numpy as jnp_  # local alias to avoid shadowing
+
+    from sunray_tpu.ops.linalg import gather_vec
+    from sunray_tpu.ops.texture import sample_texture
+    from sunray_tpu.scene.types import ALPHA_MASK, TEX_BASE_COLOR
+
+    inst = gather_vec(scene.tri_inst, tri)
+    prim = gather_vec(scene.inst_prim, inst)
+    mats = scene.materials
+    mode = gather_vec(mats.alpha_mode, prim)
+    is_mask = mode == ALPHA_MASK
+
+    vidx = gather_vec(scene.tri_vidx, tri)            # (N, 3)
+    uv_sets = gather_vec(scene.uvs[:, TEX_BASE_COLOR, :], vidx)  # (N, 3, 2)
+    bary = jnp_.stack([1.0 - u - v, u, v], axis=-1)
+    uv = jnp_.einsum("nk,nkj->nj", bary, uv_sets)
+
+    base_f = gather_vec(mats.base_color, prim)
+    tex = gather_vec(mats.tex_index[:, TEX_BASE_COLOR], prim)
+    color = sample_texture(scene.textures, tex, uv, base_f)
+    cutoff = gather_vec(mats.alpha_cutoff, prim)
+    return ~is_mask | (color[..., 3] >= cutoff)
+
+
+def _raw_closest(ctx, orig, d, tmin, tmax):
     if ctx.bvh is not None:
         return bvh_mod.trace_closest_bvh(
             ctx.bvh, ctx.tris, orig, d, tmin, tmax, block=ctx.block
@@ -55,6 +104,44 @@ def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.
     return intersect.trace_closest_brute(
         ctx.tris, orig, d, tmin, tmax, block=ctx.block
     )
+
+
+def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.T_MAX):
+    hit = _raw_closest(ctx, orig, d, tmin, tmax)
+    if ctx.alpha_scene is None:
+        return hit
+    # Alpha cutout: re-trace past rejected MASK hits (IgnoreHit analog),
+    # up to alpha_rounds skips per ray.
+    import jax
+
+    def cond(carry):
+        hit, _ = carry
+        accepted = ~hit.hit | _alpha_accepts(
+            ctx.alpha_scene, hit.tri, hit.u, hit.v
+        )
+        return jnp.any(~accepted)
+
+    def body(carry):
+        hit, rounds = carry
+        accepted = ~hit.hit | _alpha_accepts(
+            ctx.alpha_scene, hit.tri, hit.u, hit.v
+        )
+        new_tmin = jnp.where(accepted, tmin, hit.t + 1e-4)
+        nxt = _raw_closest(ctx, orig, d, new_tmin, tmax)
+        merged = intersect.Hit(
+            t=jnp.where(accepted, hit.t, nxt.t),
+            tri=jnp.where(accepted, hit.tri, nxt.tri),
+            u=jnp.where(accepted, hit.u, nxt.u),
+            v=jnp.where(accepted, hit.v, nxt.v),
+            hit=jnp.where(accepted, hit.hit, nxt.hit),
+        )
+        return merged, rounds + 1
+
+    def cond2(carry):
+        return cond(carry) & (carry[1] < ctx.alpha_rounds)
+
+    hit, _ = jax.lax.while_loop(cond2, body, (hit, jnp.int32(0)))
+    return hit
 
 
 def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
@@ -68,6 +155,45 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     absolute TMax epsilon)."""
     tmax = jnp.asarray(tmax)
     degenerate = tmax - tmin <= intersect.T_MIN
+    if ctx.alpha_scene is not None:
+        # Alpha-aware occlusion: walk closest hits, skipping cutouts, until
+        # an accepted (opaque or alpha-passing) hit or none remain.
+        import jax
+
+        n = orig.reshape(-1, 3).shape[0]
+        o2 = orig.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+        tmax2 = jnp.broadcast_to(tmax.reshape(-1), (n,)) - 1e-3
+        ex = None if exclude is None else jnp.asarray(exclude).reshape(-1)
+
+        def body(carry):
+            cur_tmin, occluded, undecided, rounds = carry
+            hit = _raw_closest(ctx, o2, d2, cur_tmin, tmax2)
+            live = undecided & hit.hit
+            if ex is not None:
+                not_excluded = hit.tri != ex
+            else:
+                not_excluded = jnp.ones((n,), bool)
+            accepted = live & not_excluded & _alpha_accepts(
+                ctx.alpha_scene, hit.tri, hit.u, hit.v
+            )
+            occluded = occluded | accepted
+            undecided = live & ~accepted
+            cur_tmin = jnp.where(undecided, hit.t + 1e-4, cur_tmin)
+            return cur_tmin, occluded, undecided, rounds + 1
+
+        def cond(carry):
+            _, _, undecided, rounds = carry
+            return jnp.any(undecided) & (rounds < ctx.alpha_rounds + 1)
+
+        init = (
+            jnp.full((n,), tmin, jnp.float32),
+            jnp.zeros((n,), bool),
+            jnp.ones((n,), bool),
+            jnp.int32(0),
+        )
+        _, occ, _, _ = jax.lax.while_loop(cond, body, init)
+        return occ & ~degenerate
     if ctx.bvh is not None:
         occ = bvh_mod.trace_occluded_bvh(
             ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude,
