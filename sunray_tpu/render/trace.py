@@ -15,8 +15,16 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from sunray_tpu.ops import intersect
 from sunray_tpu.ops import bvh as bvh_mod
+from sunray_tpu.ops import pallas_trace
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels on real TPU; interpret mode is slower than jnp on CPU."""
+    return jax.default_backend() == "tpu"
 
 
 class TracerCtx(NamedTuple):
@@ -101,6 +109,8 @@ def _raw_closest(ctx, orig, d, tmin, tmax):
         return bvh_mod.trace_closest_bvh(
             ctx.bvh, ctx.tris, orig, d, tmin, tmax, block=ctx.block
         )
+    if _use_pallas():
+        return pallas_trace.trace_closest_pallas(ctx.tris, orig, d, tmin, tmax)
     return intersect.trace_closest_brute(
         ctx.tris, orig, d, tmin, tmax, block=ctx.block
     )
@@ -198,6 +208,10 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
         occ = bvh_mod.trace_occluded_bvh(
             ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude,
             block=ctx.block,
+        )
+    elif _use_pallas():
+        occ = pallas_trace.trace_occluded_pallas(
+            ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude
         )
     else:
         occ = intersect.trace_occluded_brute(
