@@ -144,10 +144,10 @@ def generate_rays(matrices, width: int, height: int):
 
     ones = jnp.ones_like(d[..., :1])
     clip = jnp.concatenate([d, ones, ones], axis=-1)     # (H, W, 4): (dx, dy, 1, 1)
-    tgt = einsum32("ij,hwj->hwi", proj_inverse, clip)[..., :3]
+    tgt = jnp.sum(proj_inverse[None, None] * clip[..., None, :], axis=-1)[..., :3]
     tgt = tgt / jnp.linalg.norm(tgt, axis=-1, keepdims=True)
 
-    dirs = einsum32("ij,hwj->hwi", view_inverse[:3, :3], tgt)
+    dirs = jnp.sum(view_inverse[None, None, :3, :3] * tgt[..., None, :], axis=-1)
     origin = view_inverse[:3, 3]
     origins = jnp.broadcast_to(origin, dirs.shape)
     return origins, dirs
@@ -162,7 +162,7 @@ def project_to_prev_uv(view_proj_prev, world_pos):
     p = jnp.concatenate(
         [world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1
     )
-    clip = einsum32("ij,...j->...i", view_proj_prev, p)
+    clip = jnp.sum(view_proj_prev * p[..., None, :], axis=-1)
     w = clip[..., 3]
     valid_w = w > 0.01
     safe_w = jnp.where(valid_w, w, 1.0)

@@ -24,8 +24,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import einsum32
-
 from sunray_tpu.camera import generate_rays
 from sunray_tpu.ops import rng as rng_mod
 from sunray_tpu.ops.brdf import (
@@ -322,7 +320,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     seed, u_m = rng_mod.rnd(seed)
     spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
 
-    def di_body(s, carry):
+    def di_body(carry):
         seed, spatial = carry
         seed, ua, ur = rng_mod.rnd2(seed)
         angle = ua * 2.0 * PI
@@ -345,9 +343,12 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
         return seed, spatial
 
-    seed, spatial = jax.lax.fori_loop(
-        0, cfg.di_spatial_samples, di_body, (seed, spatial)
-    )
+    # Unrolled (static count): fori loop boundaries on TPU materialize the
+    # reservoir carry each iteration and block fusion (~10x slower).
+    carry = (seed, spatial)
+    for _ in range(cfg.di_spatial_samples):
+        carry = di_body(carry)
+    seed, spatial = carry
 
     has = pending & (spatial.w_sum > 0.0)
     p_hat_w, f_y_w = lights.eval_p_hat(
@@ -376,7 +377,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     view_inverse = mats["view_inverse"]
     proj_inverse = mats["proj_inverse"]
 
-    def gi_body(s, carry):
+    def gi_body(carry):
         seed, combined = carry
         seed, ua, ur = rng_mod.rnd2(seed)
         angle = ua * 2.0 * PI
@@ -406,9 +407,9 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         clip = jnp.concatenate(
             [nd, jnp.ones((p, 1)), jnp.ones((p, 1))], axis=-1
         )
-        tgt = einsum32("ij,nj->ni", proj_inverse, clip)[:, :3]
+        tgt = jnp.sum(proj_inverse[None, :, :] * clip[:, None, :], axis=-1)[:, :3]
         tgt = tgt / vec_norm(tgt)[:, None]
-        ndir = einsum32("ij,nj->ni", view_inverse[:3, :3], tgt)
+        ndir = jnp.sum(view_inverse[None, :3, :3] * tgt[:, None, :], axis=-1)
         n_depth = gdepth[ni]
         neighbor_x1 = cam_origin + ndir * n_depth[:, None]
 
@@ -437,9 +438,10 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         combined = restir.merge_gi(combined, nr, p_hat_n, jac, u, ok)
         return seed, combined
 
-    seed, combined = jax.lax.fori_loop(
-        0, cfg.gi_spatial_samples, gi_body, (seed, combined)
-    )
+    carry = (seed, combined)
+    for _ in range(cfg.gi_spatial_samples):
+        carry = gi_body(carry)
+    seed, combined = carry
 
     p_hat_f = gi_target_pdf(
         pos, normal, albedo, metal, combined.sample_pos, combined.sample_radiance

@@ -177,7 +177,7 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     r = ReservoirDI.empty(p)
     num_lights = lights.num
 
-    def body(i, carry):
+    def body(carry):
         seed, r = carry
         seed, u_pick = rng_mod.rnd(seed)
         idx = jnp.minimum(
@@ -205,7 +205,12 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
         )
         return seed, r
 
-    seed, r = jax.lax.fori_loop(0, candidates, body, (seed, r))
+    # Unrolled: a fori_loop here costs ~10x more on TPU — the loop boundary
+    # materializes the carry and blocks cross-iteration fusion.
+    carry = (seed, r)
+    for _ in range(candidates):
+        carry = body(carry)
+    seed, r = carry
 
     # Resolve W for the winner (ray_gen_ris.slang:225-231).
     p_hat_w, _ = lights.eval_p_hat(

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import einsum32, gather_vec
+from sunray_tpu.ops.linalg import gather_vec
 
 from sunray_tpu.ops.brdf import normalize, safe_sqrt, vec_norm
 from sunray_tpu.ops.texture import sample_texture
@@ -72,10 +72,10 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     vn = gather_vec(scene.normals, vidx)                         # (N, 3, 3)
     vt = gather_vec(scene.tangents, vidx)                        # (N, 3, 4)
     vuv = gather_vec(scene.uvs, vidx)                            # (N, 3, 5, 2)
-    n_obj = einsum32("nk,nkj->nj", bary, vn)
-    tangent_obj = einsum32("nk,nkj->nj", bary, vt[..., :3])
+    n_obj = jnp.sum(bary[:, :, None] * vn, axis=1)
+    tangent_obj = jnp.sum(bary[:, :, None] * vt[..., :3], axis=1)
     handedness = jnp.where(vt[:, 0, 3] >= 0.0, 1.0, -1.0)  # vertex 0 only
-    uv_all = einsum32("nk,nksj->nsj", bary, vuv)   # (N, 5, 2)
+    uv_all = jnp.sum(bary[:, :, None, None] * vuv, axis=1)  # (N, 5, 2)
     uv = uv_all[:, TEX_BASE_COLOR]
     normal_uv = uv_all[:, TEX_NORMAL]
 
@@ -101,8 +101,10 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # World normal via inverse-transpose (closest_hit.slang:49-50):
     # world_n = normalize((W2O)^T @ n_obj).
     inv_rot = gather_vec(instance_inverse_rotations(scene.inst_transform), inst)  # (N,3,3)
+    # (W2O)^T @ n per pixel, elementwise (a batched-tiny einsum would
+    # lower to 2M micro-matmuls on the MXU).
     world_normal = normalize(
-        einsum32("nji,nj->ni", inv_rot, n_obj), eps=1e-12
+        jnp.sum(inv_rot * n_obj[:, :, None], axis=1), eps=1e-12
     )
     final_normal = world_normal
 
@@ -112,7 +114,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     do_nm = has_tangent & has_normal_tex
     rot = gather_vec(scene.inst_transform, inst)[:, :, :3]       # (N,3,3) object->world
     world_tangent = normalize(
-        einsum32("nij,nj->ni", rot, tangent_obj), eps=1e-12
+        jnp.sum(rot * tangent_obj[:, None, :], axis=2), eps=1e-12
     )
     world_tangent = normalize(
         world_tangent

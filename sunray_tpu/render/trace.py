@@ -95,7 +95,7 @@ def _alpha_accepts(scene, tri, u, v):
     vidx = gather_vec(scene.tri_vidx, tri)            # (N, 3)
     uv_sets = gather_vec(scene.uvs[:, TEX_BASE_COLOR, :], vidx)  # (N, 3, 2)
     bary = jnp_.stack([1.0 - u - v, u, v], axis=-1)
-    uv = jnp_.einsum("nk,nkj->nj", bary, uv_sets)
+    uv = jnp_.sum(bary[:, :, None] * uv_sets, axis=1)
 
     base_f = gather_vec(mats.base_color, prim)
     tex = gather_vec(mats.tex_index[:, TEX_BASE_COLOR], prim)

@@ -26,7 +26,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import einsum32, gather_vec
+from sunray_tpu.ops.linalg import gather_vec
 import numpy as np
 from flax import struct
 
@@ -182,8 +182,10 @@ class SceneBuffers:
         """(v0, v1, v2) world-space positions, each (T, 3). Differentiable."""
         p = gather_vec(self.positions, self.tri_vidx)      # (T, 3, 3)
         xf = gather_vec(self.inst_transform, self.tri_inst)  # (T, 3, 4)
+        # out[t,k,i] = sum_j xf[t,i,j] * p[t,k,j] — elementwise broadcast
+        # (batched-tiny einsum lowers to per-triangle micro-matmuls on MXU).
         pw = (
-            einsum32("tij,tkj->tki", xf[:, :, :3], p)
+            jnp.sum(xf[:, None, :, :3] * p[:, :, None, :], axis=-1)
             + xf[:, None, :, 3]
         )                                                  # (T, 3verts, 3)
         return pw[:, 0], pw[:, 1], pw[:, 2]
@@ -192,7 +194,7 @@ class SceneBuffers:
         """World-space emissive triangles: (L,3,3) verts + (L,3) emission."""
         v = self.emissive_v[self.light_tri]                # (L, 3, 3)
         xf = self.inst_transform[self.light_inst]          # (L, 3, 4)
-        vw = einsum32("lij,lkj->lki", xf[:, :, :3], v) + xf[:, None, :, 3]
+        vw = jnp.sum(xf[:, None, :, :3] * v[:, :, None, :], axis=-1) + xf[:, None, :, 3]
         rgb = self.emissive_rgb[self.light_tri]
         return vw, rgb
 
