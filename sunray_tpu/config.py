@@ -92,6 +92,17 @@ class RenderConfig:
     # bounded.
     trace_block_rays: int = 1 << 18
 
+    # Spatial-reuse neighbor taps:
+    #   "shared"   — one disc offset per reuse iteration, shared by all
+    #                pixels (drawn from a frame-seeded scalar stream). Taps
+    #                become whole-image shifts, which on TPU are ~50x
+    #                cheaper than the per-pixel random gathers (XLA's
+    #                gather needs the whole table VMEM-resident to
+    #                vectorize; reservoir tables don't fit).
+    #   "perpixel" — the reference's per-pixel random disc offsets
+    #                (ray_gen_final.slang:164-167), exact parity, slower.
+    spatial_taps: str = "shared"
+
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete
     # scene (scenes without MASK materials keep the tight opaque-only path,

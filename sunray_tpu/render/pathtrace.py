@@ -261,20 +261,55 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     if use_restir:
         radiance = radiance + _spatial_reuse(
             scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
-            seed, c, cam_origin,
+            seed, c, cam_origin, frame_count,
         )
 
     # total_radiance = min(radiance, 10) (ray_gen_final.slang:430-431).
     return jnp.minimum(radiance, cfg.radiance_clamp), c["i"]
 
 
+def _shift_flat(x, dx, dy, h, w):
+    """Read field at pixel+(dx,dy) for all pixels, via a dynamic roll of the
+    image view. Out-of-bounds lanes must be masked by the caller (the roll
+    wraps)."""
+    img = x.reshape((h, w) + x.shape[1:])
+    rolled = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    return rolled.reshape(x.shape)
+
+
+def _shared_taps(cfg, frame_count, count, radius, salt):
+    """Per-iteration shared disc offsets (cfg.spatial_taps == 'shared'):
+    the same area-uniform disc distribution as the reference's per-pixel
+    draws (ray_gen_final.slang:164-167), but drawn once per iteration from
+    a frame-seeded scalar stream. Neighbor reads then become whole-image
+    shifts instead of per-pixel gathers — XLA's TPU gather serializes when
+    the table can't be cached in VMEM (~52 ms per 2M-lane gather; a shift
+    is ~0.1 ms)."""
+    s = rng_mod.init_seed(
+        jnp.uint32(salt), frame_count.astype(jnp.uint32)
+    )
+    taps = []
+    for _ in range(count):
+        s, ua, ur = rng_mod.rnd2(s)
+        ang = ua * 2.0 * PI
+        r = jnp.sqrt(ur) * radius
+        taps.append(
+            (
+                (jnp.cos(ang) * r).astype(jnp.int32),
+                (jnp.sin(ang) * r).astype(jnp.int32),
+            )
+        )
+    return taps
+
+
 def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
-                   seed, c, cam_origin):
+                   seed, c, cam_origin, frame_count):
     """Phase B: ReSTIR DI + GI spatial reuse at frozen first-rough hits
     (ray_gen_final.slang:136-327). Returns radiance to add, (P, 3)."""
     w, h = cfg.width, cfg.height
     p = w * h
     num_lights = lights.num
+    shared = cfg.spatial_taps == "shared"
 
     pending = c["pending"]
     pos = c["f_pos"]
@@ -306,6 +341,23 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         )
         return ni, ok
 
+    def shared_neighbor(dx, dy, reservoir):
+        """Shift-based neighbor fetch: (reservoir', gdepth', ok_geom)."""
+        nx = px + dx
+        ny = py + dy
+        inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
+        nn = _shift_flat(gnormal, dx, dy, h, w)
+        nd = _shift_flat(gdepth, dx, dy, h, w)
+        ok = (
+            inb
+            & (dot(normal, nn) >= 0.9)
+            & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
+        )
+        nr = jax.tree_util.tree_map(
+            lambda f: _shift_flat(f, dx, dy, h, w), reservoir
+        )
+        return nr, nd, ok, nx, ny
+
     # ---- DI spatial (ray_gen_final.slang:139-222) ----
     spatial = restir.ReservoirDI.empty(p)
     center = r_di
@@ -320,15 +372,25 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     seed, u_m = rng_mod.rnd(seed)
     spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
 
-    def di_body(carry):
+    di_taps = (
+        _shared_taps(cfg, frame_count, cfg.di_spatial_samples,
+                     cfg.di_spatial_radius, 0x51A7D1)
+        if shared else None
+    )
+
+    def di_body(carry, k):
         seed, spatial = carry
-        seed, ua, ur = rng_mod.rnd2(seed)
-        angle = ua * 2.0 * PI
-        radius = jnp.sqrt(ur) * cfg.di_spatial_radius
-        nx = px + (jnp.cos(angle) * radius).astype(jnp.int32)
-        ny = py + (jnp.sin(angle) * radius).astype(jnp.int32)
-        ni, ok = neighbor_ok(nx, ny)
-        nr = restir.gather_reservoir_di(r_di, ni)
+        if shared:
+            dx, dy = di_taps[k]
+            nr, _, ok, _, _ = shared_neighbor(dx, dy, r_di)
+        else:
+            seed, ua, ur = rng_mod.rnd2(seed)
+            angle = ua * 2.0 * PI
+            radius = jnp.sqrt(ur) * cfg.di_spatial_radius
+            nx = px + (jnp.cos(angle) * radius).astype(jnp.int32)
+            ny = py + (jnp.sin(angle) * radius).astype(jnp.int32)
+            ni, ok = neighbor_ok(nx, ny)
+            nr = restir.gather_reservoir_di(r_di, ni)
         nr = nr.replace(
             W=jnp.minimum(nr.W, cfg.di_temporal_w_clamp),
             M=jnp.minimum(nr.M, cfg.di_temporal_m_clamp),
@@ -346,8 +408,8 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     # Unrolled (static count): fori loop boundaries on TPU materialize the
     # reservoir carry each iteration and block fusion (~10x slower).
     carry = (seed, spatial)
-    for _ in range(cfg.di_spatial_samples):
-        carry = di_body(carry)
+    for k in range(cfg.di_spatial_samples):
+        carry = di_body(carry, k)
     seed, spatial = carry
 
     has = pending & (spatial.w_sum > 0.0)
@@ -372,23 +434,34 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     )
 
     # ---- GI spatial (ray_gen_final.slang:224-327) ----
-    combined = restir.gather_reservoir_gi(r_gi, pix)  # own reservoir
+    combined = r_gi  # own reservoir (identity gather elided)
 
     view_inverse = mats["view_inverse"]
     proj_inverse = mats["proj_inverse"]
 
-    def gi_body(carry):
+    gi_taps = (
+        _shared_taps(cfg, frame_count, cfg.gi_spatial_samples,
+                     cfg.gi_spatial_radius, 0x6E5B2F)
+        if shared else None
+    )
+
+    def gi_body(carry, k):
         seed, combined = carry
-        seed, ua, ur = rng_mod.rnd2(seed)
-        angle = ua * 2.0 * PI
-        radius = jnp.sqrt(ur) * cfg.gi_spatial_radius
-        dx = (jnp.cos(angle) * radius).astype(jnp.int32)
-        dy = (jnp.sin(angle) * radius).astype(jnp.int32)
-        nx = px + dx
-        ny = py + dy
-        ni, ok = neighbor_ok(nx, ny)
+        if shared:
+            dx, dy = gi_taps[k]
+            nr, n_depth, ok, nx, ny = shared_neighbor(dx, dy, r_gi)
+        else:
+            seed, ua, ur = rng_mod.rnd2(seed)
+            angle = ua * 2.0 * PI
+            radius = jnp.sqrt(ur) * cfg.gi_spatial_radius
+            dx = (jnp.cos(angle) * radius).astype(jnp.int32)
+            dy = (jnp.sin(angle) * radius).astype(jnp.int32)
+            nx = px + dx
+            ny = py + dy
+            ni, ok = neighbor_ok(nx, ny)
+            nr = restir.gather_reservoir_gi(r_gi, ni)
+            n_depth = gdepth[ni]
         ok = ok & ~((dx == 0) & (dy == 0))
-        nr = restir.gather_reservoir_gi(r_gi, ni)
         ok = ok & (nr.W > 0.0)
         nr = nr.replace(
             W=jnp.minimum(nr.W, cfg.gi_temporal_w_clamp),
@@ -410,7 +483,6 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         tgt = jnp.sum(proj_inverse[None, :, :] * clip[:, None, :], axis=-1)[:, :3]
         tgt = tgt / vec_norm(tgt)[:, None]
         ndir = jnp.sum(view_inverse[None, :3, :3] * tgt[:, None, :], axis=-1)
-        n_depth = gdepth[ni]
         neighbor_x1 = cam_origin + ndir * n_depth[:, None]
 
         w_new = nr.sample_pos - pos
@@ -439,8 +511,8 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         return seed, combined
 
     carry = (seed, combined)
-    for _ in range(cfg.gi_spatial_samples):
-        carry = gi_body(carry)
+    for k in range(cfg.gi_spatial_samples):
+        carry = gi_body(carry, k)
     seed, combined = carry
 
     p_hat_f = gi_target_pdf(
