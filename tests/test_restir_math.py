@@ -1,0 +1,110 @@
+"""ReSTIR reservoir math unit tests vs hand-computed expectations
+(rt_utils.slang:244-274 merge semantics, ray_gen_ris.slang:189-231 RIS)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sunray_tpu.render import restir
+from sunray_tpu.ops.brdf import eval_unshadowed_light, luminance_max
+from sunray_tpu.scene import cornell_box
+
+
+def mk_di(p=1, **kw):
+    r = restir.ReservoirDI.empty(p)
+    return r.replace(**{k: jnp.asarray(v) for k, v in kw.items()})
+
+
+class TestMergeDI:
+    def test_accumulates_w_sum_and_M(self):
+        r = mk_di(w_sum=[1.0], M=[2.0])
+        new = mk_di(M=[3.0], W=[0.5], light_idx=np.asarray([7], np.int32),
+                    light_pos=[[1.0, 2.0, 3.0]])
+        p_hat = jnp.asarray([2.0])
+        # weight = p_hat * W * M = 2*0.5*3 = 3; w_sum' = 4; M' = 5
+        out = restir.merge_di(r, new, p_hat, jnp.asarray([0.9]),
+                              jnp.asarray([True]))
+        assert float(out.w_sum[0]) == 4.0
+        assert float(out.M[0]) == 5.0
+        # take iff u < weight/w_sum' = 3/4; u=0.9 -> keep old candidate
+        assert int(out.light_idx[0]) == 0
+
+    def test_takes_candidate_when_u_small(self):
+        r = mk_di(w_sum=[1.0], M=[2.0])
+        new = mk_di(M=[3.0], W=[0.5], light_idx=np.asarray([7], np.int32),
+                    light_pos=[[1.0, 2.0, 3.0]])
+        out = restir.merge_di(r, new, jnp.asarray([2.0]), jnp.asarray([0.5]),
+                              jnp.asarray([True]))
+        assert int(out.light_idx[0]) == 7
+        np.testing.assert_allclose(np.asarray(out.light_pos[0]), [1, 2, 3])
+
+    def test_disabled_lane_unchanged(self):
+        r = mk_di(w_sum=[1.0], M=[2.0])
+        new = mk_di(M=[3.0], W=[0.5])
+        out = restir.merge_di(r, new, jnp.asarray([2.0]), jnp.asarray([0.0]),
+                              jnp.asarray([False]))
+        assert float(out.w_sum[0]) == 1.0
+        assert float(out.M[0]) == 2.0
+
+
+class TestMergeGI:
+    def test_jacobian_scales_weight(self):
+        r = restir.ReservoirGI.empty(1)
+        new = restir.ReservoirGI.empty(1).replace(
+            M=jnp.asarray([2.0]), W=jnp.asarray([1.0]),
+            sample_pos=jnp.asarray([[5.0, 0.0, 0.0]]),
+        )
+        out = restir.merge_gi(r, new, jnp.asarray([3.0]), jnp.asarray([0.5]),
+                              jnp.asarray([0.1]), jnp.asarray([True]))
+        # weight = p_hat*W*M*jac = 3*1*2*0.5 = 3
+        assert float(out.w_sum[0]) == 3.0
+        np.testing.assert_allclose(np.asarray(out.sample_pos[0]), [5, 0, 0])
+
+
+class TestRisAudition:
+    def test_unbiased_weight_scale(self):
+        """W ~ w_sum / (M * p_hat(winner)); with one light, p_y fixed, all
+        candidates identical -> W == 1/p_hat_winner * (p_hat/p_y)/p_hat =
+        1/p_y scaled... sanity: W * p_hat ~ average unshadowed estimate."""
+        scene = cornell_box()
+        lights = restir.Lights(scene)
+        p = 256
+        import jax
+        from sunray_tpu.ops import rng as rng_mod
+
+        pos = jnp.tile(jnp.asarray([[1.0, 0.0, 1.0]]), (p, 1))
+        nrm = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (p, 1))
+        vv = jnp.tile(jnp.asarray([[0.0, 0.7, 0.7]]), (p, 1))
+        alb = jnp.full((p, 3), 0.7)
+        rough = jnp.ones(p)
+        metal = jnp.zeros(p)
+        seed = rng_mod.init_seed(jnp.arange(p, dtype=jnp.uint32), 1)
+        _, r = restir.ris_audition(
+            lights, seed, pos, nrm, vv, alb, rough, metal, 16,
+            jnp.ones(p, bool),
+        )
+        # Reference estimator: E[p_hat(winner) * W] ~ integral of unshadowed
+        # direct light; compare against dense-area Monte Carlo.
+        ph, _ = lights.eval_p_hat(
+            r.light_idx, r.light_pos, r.light_normal,
+            pos, nrm, vv, alb, rough, metal,
+        )
+        ris_estimate = float(jnp.mean(ph * r.W))
+
+        g = np.random.default_rng(0)
+        n = 20000
+        u1 = g.uniform(size=n).astype(np.float32)
+        u2 = g.uniform(size=n).astype(np.float32)
+        li = g.integers(0, lights.num, n)
+        lp, ln, le, area = lights.sample_point(
+            jnp.asarray(li, jnp.int32), jnp.asarray(u1), jnp.asarray(u2)
+        )
+        f = eval_unshadowed_light(
+            jnp.tile(pos[:1], (n, 1)), jnp.tile(nrm[:1], (n, 1)),
+            jnp.tile(vv[:1], (n, 1)), jnp.tile(alb[:1], (n, 1)),
+            jnp.ones(n), jnp.zeros(n), le, lp, ln,
+        )
+        phat_mc = luminance_max(f)
+        pdf = 1.0 / (lights.num * area)
+        mc = float(jnp.mean(phat_mc / pdf))
+        assert ris_estimate > 0.0
+        np.testing.assert_allclose(ris_estimate, mc, rtol=0.15)
