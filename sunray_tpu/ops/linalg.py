@@ -19,7 +19,12 @@ def einsum32(subscripts, *operands):
     )
 
 
-SELECT_GATHER_MAX_ROWS = 16
+# Select-chain vs dynamic gather break-even: XLA's TPU gather runs at
+# ~25 ns/element when the table can't live in VMEM (~50 ms per 2M-lane
+# gather); a K-row select chain costs K compare+selects of VPU time
+# (~2 ms at K=128 for 2M lanes). Chains win by ~25x up to a few hundred
+# rows; beyond that compile size grows linearly, so cap conservatively.
+SELECT_GATHER_MAX_ROWS = 128
 
 
 def gather_vec(table, idx):
