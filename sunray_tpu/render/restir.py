@@ -222,14 +222,51 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     return seed, r
 
 
+def _gather_packed(fields, idx):
+    """Gather many same-length (P,) / (P,3) fields at the same indices with
+    ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
+    ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
+    moves C scalars per index in one op — measured ~C-fold cheaper than C
+    separate 1-D gathers in the frame program. int32 fields ride along
+    bitcast to f32."""
+    cols = []
+    spec = []  # (is_int, ncomp)
+    for f in fields:
+        is_int = jnp.issubdtype(f.dtype, jnp.integer)
+        g = jax.lax.bitcast_convert_type(f, jnp.float32) if is_int else f
+        if g.ndim == 1:
+            cols.append(g[:, None])
+            spec.append((is_int, 1))
+        else:
+            cols.append(g)
+            spec.append((is_int, g.shape[1]))
+    packed = jnp.concatenate(cols, axis=1)           # (P, C)
+    rows = packed[idx]                                # one gather
+    out = []
+    o = 0
+    for is_int, n in spec:
+        g = rows[:, o : o + n]
+        if n == 1:
+            g = g[:, 0]
+        if is_int:
+            g = jax.lax.bitcast_convert_type(g, jnp.int32)
+        out.append(g)
+        o += n
+    return out
+
+
 def gather_reservoir_di(r: ReservoirDI, idx) -> ReservoirDI:
-    """Gather reservoir lanes at pixel indices idx (history/neighbor reads).
-    Per-component 1-D gathers (see ops.linalg.gather_vec layout note)."""
-    return jax.tree_util.tree_map(lambda x: gather_vec(x, idx), r)
+    """Gather reservoir lanes at pixel indices idx (history/neighbor reads)
+    with a single packed-row gather (13 scalars per lane)."""
+    leaves, treedef = jax.tree_util.tree_flatten(r)
+    out = _gather_packed(leaves, idx)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
-    return jax.tree_util.tree_map(lambda x: gather_vec(x, idx), r)
+    leaves, treedef = jax.tree_util.tree_flatten(r)
+    out = _gather_packed(leaves, idx)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
