@@ -48,17 +48,32 @@ def _sel3(m, a, b):
     return jnp.where(m[:, None], a, b)
 
 
+import functools
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=8)
+def _blue_noise_tiled(w, h):
+    """Host-precomputed tiled noise (the indices are static, so doing the
+    tiling in numpy turns two 17 ms runtime gathers into jit constants).
+    Cache holds numpy only — jnp conversion must happen per trace (a cached
+    in-trace array would leak a tracer)."""
+    noise = noise_texture()
+    xs = _np.arange(w) % NOISE_SIZE
+    ys = _np.arange(h) % NOISE_SIZE
+    bn1 = noise[_np.ix_(ys, xs)].reshape(-1)
+    bn2 = noise[
+        _np.ix_((_np.arange(h) + 71) % NOISE_SIZE,
+                (_np.arange(w) + 47) % NOISE_SIZE)
+    ].reshape(-1)
+    return bn1, bn2
+
+
 def _blue_noise_rands(cfg, frame_count):
     """Per-pixel first-bounce random pair (ray_gen_final.slang:44-50,393-399)."""
-    noise = jnp.asarray(noise_texture())
-    w, h = cfg.width, cfg.height
-    xs = jnp.arange(w) % NOISE_SIZE
-    ys = jnp.arange(h) % NOISE_SIZE
-    xx, yy = jnp.meshgrid(xs, ys)
-    bn1 = noise[yy, xx].reshape(-1)
-    xx2, yy2 = jnp.meshgrid((jnp.arange(w) + 47) % NOISE_SIZE,
-                            (jnp.arange(h) + 71) % NOISE_SIZE)
-    bn2 = noise[yy2, xx2].reshape(-1)
+    bn1_np, bn2_np = _blue_noise_tiled(cfg.width, cfg.height)
+    bn1 = jnp.asarray(bn1_np)
+    bn2 = jnp.asarray(bn2_np)
     fc = (frame_count % 1024).astype(jnp.float32)
     r1 = jnp.mod(bn1 + fc * _A1, 1.0)
     r2 = jnp.mod(bn2 + fc * _A2, 1.0)

@@ -40,7 +40,12 @@ def _shift2d(img, dy, dx, pad_mode="edge"):
 
 def bilinear_sample(img, uv):
     """Manual bilinear fetch at continuous uv, clamp-to-edge
-    (temporal_accumulation.slang:42-58). img: (H, W, C); uv: (H, W, 2)."""
+    (temporal_accumulation.slang:42-58). img: (H, W, C); uv: (H, W, 2).
+
+    Four corner gathers of (H, W, C) rows. (A single (2,2,C) patch gather
+    was tried and regressed 10x: the 5-D result's tiny trailing dims
+    tile-pad 64x on TPU.)
+    """
     h, w = img.shape[:2]
     px = uv[..., 0] * w - 0.5
     py = uv[..., 1] * h - 0.5
