@@ -9,6 +9,11 @@ Runs each config, reports frame time, rays/s, and output statistics; with
   5. Full pipeline: ReSTIR + TAA + denoise + postprocess + grads
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

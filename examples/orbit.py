@@ -11,6 +11,11 @@ accelerator).
 Usage: python examples/orbit.py [--frames 72] [--size 320x240] [--out out/orbit]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import time

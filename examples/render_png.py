@@ -6,6 +6,11 @@ the full pipeline with 16 warm-up frames and writes a PNG.
 Usage: python examples/render_png.py [--scene cornell|room] [--size WxH]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import sys
 import time
