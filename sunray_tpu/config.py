@@ -82,9 +82,13 @@ class RenderConfig:
     # history before the output is meaningful.
     warmup_frames: int = 16
 
-    # Tracing backend: "auto" picks bvh above this triangle count.
+    # Tracing backend: "auto" picks bvh above this triangle count. The
+    # Pallas brute kernel scales linearly (~40 ms per 1M rays per 1k tris
+    # on v5e) and beats the current vmapped BVH stack walk (gather-bound,
+    # ~14 us/ray) up to a few thousand triangles; stream/wavefront BVH
+    # traversal is the planned crossover fix for big scenes.
     tracer: str = "auto"               # "auto" | "brute" | "bvh"
-    brute_force_max_tris: int = 512
+    brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4
     # Rays per trace block (lax.map step). Too small serializes the frame
     # into thousands of micro-kernels (observed 4.7 s/frame at 4096); large
