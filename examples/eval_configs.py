@@ -87,7 +87,7 @@ def main():
             "2_gltf_direct_bvh",
             gltf_scene, ROOM_CAM,
             RenderConfig(**size(1280, 720), lighting="nee", denoise_passes=0,
-                         tracer="bvh", bounces=2),
+                         bounces=2),
             4,
         ))
     cases.append((

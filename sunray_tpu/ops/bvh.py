@@ -38,7 +38,10 @@ from flax import struct
 from sunray_tpu.ops import intersect
 
 STACK_DEPTH = 64
-TRAVERSE_BLOCK = 8192  # rays per vmapped block (stack memory = block*64*4B)
+# Rays per vmapped block. Stack memory = block * STACK_DEPTH * 4B; large
+# blocks have device-faulted on v5e (suspected stack-carry pressure) — keep
+# modest until the stream-traversal kernel replaces the per-ray stack walk.
+TRAVERSE_BLOCK = 8192
 
 
 @struct.dataclass

@@ -107,7 +107,8 @@ def _alpha_accepts(scene, tri, u, v):
 def _raw_closest(ctx, orig, d, tmin, tmax):
     if ctx.bvh is not None:
         return bvh_mod.trace_closest_bvh(
-            ctx.bvh, ctx.tris, orig, d, tmin, tmax, block=ctx.block
+            ctx.bvh, ctx.tris, orig, d, tmin, tmax,
+            block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
         )
     if _use_pallas():
         return pallas_trace.trace_closest_pallas(ctx.tris, orig, d, tmin, tmax)
@@ -207,7 +208,7 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     if ctx.bvh is not None:
         occ = bvh_mod.trace_occluded_bvh(
             ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude,
-            block=ctx.block,
+            block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
         )
     elif _use_pallas():
         occ = pallas_trace.trace_occluded_pallas(
