@@ -52,6 +52,24 @@ def instance_inverse_rotations(inst_transform):
     return jnp.linalg.inv(inst_transform[:, :, :3])
 
 
+def _recompute_hit(orig, d, wpos):
+    """Moller-Trumbore (t, u, v) for known winning world triangles
+    (N, 3verts, 3). Grad-safe determinant handling."""
+    v0 = wpos[:, 0]
+    e1 = wpos[:, 1] - v0
+    e2 = wpos[:, 2] - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tvec = orig - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return t, u, v
+
+
 def shade_hits(scene, orig, d, hit, differentiable_t=True):
     """Compute the Surface for a batch of hits.
 
@@ -59,12 +77,25 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     Misses produce valid=False with dist=-1 (ray_miss.slang:9-13 sentinel).
     """
     tri = jnp.where(hit.hit, hit.tri, 0)
-    inst = scene.tri_inst[tri]                       # (N,)
-    prim = scene.inst_prim[inst]                     # (N,)
+    inst = gather_vec(scene.tri_inst, tri)                       # (N,)
+    prim = gather_vec(scene.inst_prim, inst)                     # (N,)
     vidx = gather_vec(scene.tri_vidx, tri)                       # (N, 3)
 
-    u = hit.u
-    v = hit.v
+    # Recompute (t, u, v) differentiably from the winning triangle: the
+    # tracer's winner index is discrete (and its Pallas kernels have no AD
+    # rule), so gradients flow through the intersection equations here
+    # instead — w.r.t. vertices, transforms, ray origin and direction
+    # (SURVEY.md section 7 M3 custom-VJP plan).
+    vpos = gather_vec(scene.positions, vidx)                     # (N, 3, 3)
+    xf = gather_vec(scene.inst_transform, inst)                  # (N, 3, 4)
+    wpos = (
+        jnp.sum(xf[:, None, :, :3] * vpos[:, :, None, :], axis=-1)
+        + xf[:, None, :, 3]
+    )                                                            # (N, 3v, 3)
+    t_d, u_d, v_d = _recompute_hit(orig, d, wpos)
+    t_att = jnp.where(hit.hit, t_d, hit.t)
+    u = jnp.where(hit.hit, u_d, hit.u)
+    v = jnp.where(hit.hit, v_d, hit.v)
     bary = jnp.stack([1.0 - u - v, u, v], axis=-1)   # (N, 3)
 
     # Vertex attribute gathers + barycentric interpolation
@@ -155,7 +186,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     roughness = roughness * mr[:, 1]   # G channel
     metallic = metallic * mr[:, 2]     # B channel
 
-    dist = jnp.where(hit.hit, hit.t, -1.0)
+    dist = jnp.where(hit.hit, t_att, -1.0)
     pos = orig + d * dist[:, None]
 
     return Surface(

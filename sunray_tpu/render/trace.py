@@ -119,6 +119,11 @@ def _raw_closest(ctx, orig, d, tmin, tmax):
 
 def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.T_MAX):
     hit = _raw_closest(ctx, orig, d, tmin, tmax)
+    # The tracer is a discrete oracle: gradients flow through the
+    # differentiable hit-attribute recompute in render/shade.py, never
+    # through traversal itself (which may run as a Pallas kernel with no
+    # AD rule).
+    hit = jax.tree_util.tree_map(jax.lax.stop_gradient, hit)
     if ctx.alpha_scene is None:
         return hit
     # Alpha cutout: re-trace past rejected MASK hits (IgnoreHit analog),
