@@ -128,7 +128,6 @@ def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.
         return hit
     # Alpha cutout: re-trace past rejected MASK hits (IgnoreHit analog),
     # up to alpha_rounds skips per ray.
-    import jax
 
     def cond(carry):
         hit, _ = carry
@@ -174,8 +173,6 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     if ctx.alpha_scene is not None:
         # Alpha-aware occlusion: walk closest hits, skipping cutouts, until
         # an accepted (opaque or alpha-passing) hit or none remain.
-        import jax
-
         n = orig.reshape(-1, 3).shape[0]
         o2 = orig.reshape(-1, 3)
         d2 = d.reshape(-1, 3)
