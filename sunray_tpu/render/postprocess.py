@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sunray_tpu.ops.brdf import vec_norm
+
 LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
 ACCUMULATION_FACTOR = 0.14   # temporal_accumulation.slang:30
 ATROUS_KERNEL = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
@@ -144,7 +146,9 @@ def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
             s_illum = s_color / jnp.maximum(s_diffuse, 0.001)
             s_luma = _luminance(s_illum)
 
-            diffuse_diff = jnp.linalg.norm(center_diffuse - s_diffuse, axis=-1)
+            # vec_norm: d||x||/dx at x=0 is NaN, and identical-albedo
+            # neighbors make the difference exactly zero everywhere.
+            diffuse_diff = vec_norm(center_diffuse - s_diffuse)
             luma_diff = jnp.abs(center_luma - s_luma)
             luma_sigma = jnp.maximum(center_luma, s_luma) * 0.4 + 0.01
             luma_ratio = luma_diff / luma_sigma
