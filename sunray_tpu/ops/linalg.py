@@ -46,7 +46,10 @@ def gather_vec(table, idx):
     comp_shape = table.shape[1:]
     flat = table.reshape(table.shape[0], -1)
     k = flat.shape[0]
-    if 0 < k <= SELECT_GATHER_MAX_ROWS:
+    # Select chains only pay off on TPU (the serial-gather problem is
+    # TPU-specific); on CPU they just bloat compile time.
+    use_select = jax.default_backend() == "tpu"
+    if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
         out = jnp.zeros(idx.shape + (flat.shape[1],), flat.dtype)
         for row in range(k):
             sel = (idx == row)[..., None]
