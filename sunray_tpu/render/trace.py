@@ -61,8 +61,14 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
             block=cfg.trace_block_rays,
             alpha_scene=alpha_scene,
         )
+    # The brute threshold is backend-aware: the Pallas kernel scales
+    # linearly to thousands of triangles on TPU, but the jnp fallback's
+    # (rays x tris) working set blows up on CPU — keep CPU small.
+    brute_max = cfg.brute_force_max_tris if _use_pallas() else min(
+        cfg.brute_force_max_tris, 512
+    )
     use_bvh = cfg.tracer == "bvh" or (
-        cfg.tracer == "auto" and n_tris > cfg.brute_force_max_tris
+        cfg.tracer == "auto" and n_tris > brute_max
     )
     bvh = bvh_mod.build_bvh(tris, leaf_size=cfg.bvh_leaf_size) if use_bvh else None
     return TracerCtx(
