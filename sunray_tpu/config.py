@@ -71,7 +71,7 @@ class RenderConfig:
     accumulation_factor: float = 0.14
     denoise_passes: int = 4            # a-trous, step widths 1,2,4,8
     exposure: float = 1.0
-    tonemap: str = "aces"              # "aces" | "none"
+    tonemap: str = "aces"              # "aces" | "aces_srgb" | "none"
     gamma: float = 2.2
 
     # Contribution clamps (ray_gen_final.slang:378,431)

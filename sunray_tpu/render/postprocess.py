@@ -188,15 +188,28 @@ def aces_film(x):
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
+def srgb_encode(x):
+    """Exact sRGB OETF (the `use_srgb` output-format analog, lib.rs:1387:
+    the reference leaves encoding to the swapchain format; headless we do
+    it in the shader-equivalent)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    lo = x * 12.92
+    hi = 1.055 * jnp.maximum(x, 1e-8) ** (1.0 / 2.4) - 0.055
+    return jnp.where(x <= 0.0031308, lo, hi)
+
+
 def tonemap(color, exposure=1.0, mode="aces", gamma=2.2):
-    """NaN/Inf scrub -> exposure -> ACES -> gamma (postprocess.slang:20-42)."""
+    """NaN/Inf scrub -> exposure -> ACES -> transfer curve
+    (postprocess.slang:20-42). mode: "aces" | "aces_srgb" | "none"."""
     bad = jnp.any(~jnp.isfinite(color), axis=-1, keepdims=True)
     color = jnp.where(bad, 0.0, color)
     color = color * exposure
-    if mode == "aces":
+    if mode in ("aces", "aces_srgb"):
         color = aces_film(color)
     else:
         color = jnp.clip(color, 0.0, 1.0)
+    if mode == "aces_srgb":
+        return srgb_encode(color)
     # Epsilon floor: d(x^(1/2.2))/dx is infinite at 0, which poisons
     # gradients of every black pixel. 1e-8^(1/2.2) ~ 2.4e-4, invisible.
     return jnp.maximum(color, 1e-8) ** (1.0 / gamma)

@@ -120,3 +120,62 @@ class TestTemporalState:
         state = RenderState.create(cfg)
         assert int(state.frame_count) == 0
         assert float(jnp.abs(state.accum).max()) == 0.0
+
+
+class TestPhysics:
+    def test_furnace(self):
+        """Furnace test: closed enclosure with emissive=e, albedo=a walls.
+        Path-traced radiance should converge to e * sum a^k = e(1-a^B)/(1-a)
+        (BRDF mode picks up emission each bounce; geometry cancels)."""
+        import numpy as np
+        from sunray_tpu.scene.procedural import _MeshBuilder
+
+        e, a = 0.4, 0.6
+        b = _MeshBuilder()
+        m = b.add_material(
+            base_color=(a, a, a, 1.0), roughness=1.0,
+            emissive_factor=(1.0, 1.0, 1.0, e),
+        )
+        s = 2.0
+        b.add_quad((0, 0, 0), (0, 0, s), (s, 0, s), (s, 0, 0), m)
+        b.add_quad((0, s, 0), (s, s, 0), (s, s, s), (0, s, s), m)
+        b.add_quad((0, 0, 0), (s, 0, 0), (s, s, 0), (0, s, 0), m)
+        b.add_quad((0, 0, s), (0, s, s), (s, s, s), (s, 0, s), m)
+        b.add_quad((0, 0, 0), (0, s, 0), (0, s, s), (0, 0, s), m)
+        b.add_quad((s, 0, 0), (s, 0, s), (s, s, s), (s, s, 0), m)
+        furnace = b.build()
+
+        bounces = 8
+        cfg = RenderConfig(
+            width=32, height=24, bounces=bounces, virtual_bounces=1,
+            lighting="brdf", denoise_passes=0, enable_taa=False,
+            tonemap="none", gamma=1.0, russian_roulette_start=bounces + 1,
+        )
+        cam = Camera(position=(1.0, 1.0, 1.0), target=(1.9, 1.0, 1.0),
+                     fov_y=60.0)
+        mats_cam = camera_matrices(cam, cfg.width, cfg.height)
+        state = RenderState.create(cfg)
+        step = jax.jit(lambda st: render_frame(furnace, cfg, st, mats_cam))
+        acc = 0.0
+        n = 24
+        for _ in range(n):
+            state, _, aux = step(state)
+            acc = acc + np.asarray(aux["raw"])
+        mean = float((acc / n).mean())
+        expected = e * (1 - a ** bounces) / (1 - a)
+        np.testing.assert_allclose(mean, expected, rtol=0.03)
+
+
+class TestResize:
+    def test_resize_resets_state(self):
+        from sunray_tpu.render.renderer import Renderer
+
+        scene = cornell_box()
+        r = Renderer(small_cfg(lighting="nee"), scene)
+        img1 = r.render(CAM)
+        assert img1.shape == (H, W, 3)
+        assert int(r.state.frame_count) == 1
+        r.resize(32, 24)
+        assert int(r.state.frame_count) == 0  # lib.rs:639 reset semantics
+        img2 = r.render(CAM)
+        assert img2.shape == (24, 32, 3)
