@@ -301,14 +301,55 @@ def _tri_hit_one(o, d, a, b, c, tmin, tmax):
     return tt, u, v, ok
 
 
-def _traverse_one(bvh: Bvh, tris, o, d, tmin, tmax, mode: str, exclude):
+def _pack_tables(bvh: Bvh, tris):
+    """Pack per-node and per-leaf data into row matrices so each traversal
+    iteration costs TWO row gathers instead of ~25 scalar gathers (XLA's
+    TPU gather charge is per-op, ~C-fold cheaper when C scalars ride one
+    index — same trick as render/restir._gather_packed).
+
+    node_pack: (max(NL-1,1), 16): [child_l, child_r (bitcast), lmin3, lmax3,
+               rmin3, rmax3, pad2]
+    leaf_pack: (NL, K*10): per triangle [v0(3), v1(3), v2(3), id (bitcast)]
+    """
+    v0, v1, v2 = tris
+    nl = bvh.num_leaves
+    f32 = jnp.float32
+    if nl > 1:
+        cl = bvh.child_l
+        cr = bvh.child_r
+        node_pack = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(cl, f32)[:, None],
+                jax.lax.bitcast_convert_type(cr, f32)[:, None],
+                bvh.node_min[cl], bvh.node_max[cl],
+                bvh.node_min[cr], bvh.node_max[cr],
+                jnp.zeros((cl.shape[0], 2), f32),
+            ],
+            axis=1,
+        )
+    else:
+        node_pack = jnp.zeros((1, 16), f32)
+
+    ids = bvh.leaf_tri                      # (NL, K)
+    gids = jnp.maximum(ids, 0)
+    lp = jnp.concatenate(
+        [
+            v0[gids], v1[gids], v2[gids],
+            jax.lax.bitcast_convert_type(ids, f32)[:, :, None],
+        ],
+        axis=2,
+    )                                        # (NL, K, 10)
+    leaf_pack = lp.reshape(nl, -1)
+    return node_pack, leaf_pack
+
+
+def _traverse_one(node_pack, leaf_pack, nl, leaf_k, o, d, tmin, tmax,
+                  mode: str, exclude):
     """Scalar-ray traversal; vmapped by the callers.
 
     mode "closest": full closest-hit search.
     mode "any": early exit on first accepted hit.
     """
-    v0, v1, v2 = tris
-    nl = bvh.num_leaves
     leaf_base = nl - 1
     inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.float32(1e12))
 
@@ -337,13 +378,14 @@ def _traverse_one(bvh: Bvh, tris, o, d, tmin, tmax, mode: str, exclude):
         node = s["stack"][sp]
         is_leaf = node >= leaf_base if nl > 1 else jnp.asarray(True)
 
-        # --- leaf: intersect K triangles ---
-        leaf = jnp.maximum(node - leaf_base, 0)
-        ids = bvh.leaf_tri[leaf]                       # (K,)
-        gids = jnp.maximum(ids, 0)
-        tt, u, v, ok = _tri_hit_one(
-            o, d, v0[gids], v1[gids], v2[gids], tmin, s["best_t"]
-        )
+        # --- leaf: intersect K triangles from ONE packed row ---
+        leaf = jnp.clip(node - leaf_base, 0, nl - 1)
+        lrow = leaf_pack[leaf].reshape(leaf_k, 10)
+        a = lrow[:, 0:3]
+        b = lrow[:, 3:6]
+        c = lrow[:, 6:9]
+        ids = jax.lax.bitcast_convert_type(lrow[:, 9], jnp.int32)
+        tt, u, v, ok = _tri_hit_one(o, d, a, b, c, tmin, s["best_t"])
         ok = ok & (ids >= 0) & is_leaf
         if exclude is not None:
             ok = ok & (ids != exclude)
@@ -356,15 +398,16 @@ def _traverse_one(bvh: Bvh, tris, o, d, tmin, tmax, mode: str, exclude):
         new_best_v = jnp.where(leaf_hit, v[kbest], s["best_v"])
         found = s["found"] | leaf_hit
 
-        # --- internal: test children, push hits (near last => popped first) ---
+        # --- internal: ONE packed row holds children ids + both AABBs ---
         if nl > 1:
-            l = bvh.child_l[jnp.minimum(node, leaf_base - 1)]
-            r = bvh.child_r[jnp.minimum(node, leaf_base - 1)]
+            nrow = node_pack[jnp.minimum(node, leaf_base - 1)]
+            l = jax.lax.bitcast_convert_type(nrow[0], jnp.int32)
+            r = jax.lax.bitcast_convert_type(nrow[1], jnp.int32)
             hit_l, tn_l = _aabb_hit(
-                o, inv_d, bvh.node_min[l], bvh.node_max[l], tmin, new_best_t
+                o, inv_d, nrow[2:5], nrow[5:8], tmin, new_best_t
             )
             hit_r, tn_r = _aabb_hit(
-                o, inv_d, bvh.node_min[r], bvh.node_max[r], tmin, new_best_t
+                o, inv_d, nrow[8:11], nrow[11:14], tmin, new_best_t
             )
             hit_l = hit_l & ~is_leaf
             hit_r = hit_r & ~is_leaf
@@ -437,9 +480,12 @@ def trace_closest_bvh(bvh: Bvh, tris, orig, d, tmin=intersect.T_MIN,
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), orig.shape[:1])
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), orig.shape[:1])
 
+    node_pack, leaf_pack = _pack_tables(bvh, tris)
+    nl = bvh.num_leaves
+    leaf_k = bvh.leaf_tri.shape[1]
     trav = jax.vmap(
         lambda o, dd, tn, tx: _traverse_one(
-            bvh, tris, o, dd, tn, tx, "closest", None
+            node_pack, leaf_pack, nl, leaf_k, o, dd, tn, tx, "closest", None
         )
     )
 
@@ -464,10 +510,13 @@ def trace_occluded_bvh(bvh: Bvh, tris, orig, d, tmax, tmin=intersect.T_MIN,
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), orig.shape[:1])
     tmax_a = jnp.asarray(tmax, jnp.float32).reshape(-1)
 
+    node_pack, leaf_pack = _pack_tables(bvh, tris)
+    nl = bvh.num_leaves
+    leaf_k = bvh.leaf_tri.shape[1]
     if exclude is None:
         trav = jax.vmap(
             lambda o, dd, tn, tx: _traverse_one(
-                bvh, tris, o, dd, tn, tx, "any", None
+                node_pack, leaf_pack, nl, leaf_k, o, dd, tn, tx, "any", None
             )["found"]
         )
 
@@ -480,7 +529,7 @@ def trace_occluded_bvh(bvh: Bvh, tris, orig, d, tmax, tmin=intersect.T_MIN,
     exclude = jnp.asarray(exclude, jnp.int32).reshape(-1)
     trav = jax.vmap(
         lambda o, dd, tn, tx, ex: _traverse_one(
-            bvh, tris, o, dd, tn, tx, "any", ex
+            node_pack, leaf_pack, nl, leaf_k, o, dd, tn, tx, "any", ex
         )["found"]
     )
 
