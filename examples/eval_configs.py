@@ -114,7 +114,7 @@ def main():
     for name, scene, cam, cfg, frames in cases:
         r, img = run_config(name, scene, cam, cfg, frames)
         results.append(r)
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
         if args.save:
             from sunray_tpu.utils.png import write_png
             os.makedirs("out/configs", exist_ok=True)

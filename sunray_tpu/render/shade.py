@@ -81,12 +81,29 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     prim = gather_vec(scene.inst_prim, inst)                     # (N,)
     vidx = gather_vec(scene.tri_vidx, tri)                       # (N, 3)
 
+    # All per-vertex attributes ride THREE packed row gathers (one per
+    # triangle corner) instead of ~60 scalar gathers — the TPU gather
+    # cost is dominated by a per-op charge (see ops/linalg.gather_vec and
+    # docs/PERFORMANCE.md). Packed layout per vertex row:
+    # [position(3), normal(3), tangent(4), uvs(5x2)] = 20 columns.
+    nverts = scene.positions.shape[0]
+    vpack = jnp.concatenate(
+        [
+            scene.positions,
+            scene.normals,
+            scene.tangents,
+            scene.uvs.reshape(nverts, -1),
+        ],
+        axis=1,
+    )
+    rows = [vpack[vidx[:, k]] for k in range(3)]     # 3 x (N, 20)
+
     # Recompute (t, u, v) differentiably from the winning triangle: the
     # tracer's winner index is discrete (and its Pallas kernels have no AD
     # rule), so gradients flow through the intersection equations here
     # instead — w.r.t. vertices, transforms, ray origin and direction
     # (SURVEY.md section 7 M3 custom-VJP plan).
-    vpos = gather_vec(scene.positions, vidx)                     # (N, 3, 3)
+    vpos = jnp.stack([r[:, 0:3] for r in rows], axis=1)          # (N, 3, 3)
     xf = gather_vec(scene.inst_transform, inst)                  # (N, 3, 4)
     wpos = (
         jnp.sum(xf[:, None, :, :3] * vpos[:, :, None, :], axis=-1)
@@ -98,11 +115,13 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     v = jnp.where(hit.hit, v_d, hit.v)
     bary = jnp.stack([1.0 - u - v, u, v], axis=-1)   # (N, 3)
 
-    # Vertex attribute gathers + barycentric interpolation
+    # Vertex attribute decode + barycentric interpolation
     # (closest_hit.slang:31-37, rt_utils.slang:136-147).
-    vn = gather_vec(scene.normals, vidx)                         # (N, 3, 3)
-    vt = gather_vec(scene.tangents, vidx)                        # (N, 3, 4)
-    vuv = gather_vec(scene.uvs, vidx)                            # (N, 3, 5, 2)
+    vn = jnp.stack([r[:, 3:6] for r in rows], axis=1)            # (N, 3, 3)
+    vt = jnp.stack([r[:, 6:10] for r in rows], axis=1)           # (N, 3, 4)
+    vuv = jnp.stack(
+        [r[:, 10:20].reshape(-1, 5, 2) for r in rows], axis=1
+    )                                                            # (N, 3, 5, 2)
     n_obj = jnp.sum(bary[:, :, None] * vn, axis=1)
     tangent_obj = jnp.sum(bary[:, :, None] * vt[..., :3], axis=1)
     handedness = jnp.where(vt[:, 0, 3] >= 0.0, 1.0, -1.0)  # vertex 0 only

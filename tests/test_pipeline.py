@@ -179,3 +179,33 @@ class TestResize:
         assert int(r.state.frame_count) == 0  # lib.rs:639 reset semantics
         img2 = r.render(CAM)
         assert img2.shape == (24, 32, 3)
+
+
+class TestMovingCamera:
+    def test_reprojection_under_motion(self):
+        """Temporal reuse + TAA with a translating camera: motion vectors
+        must be nonzero, history reprojection must stay finite and sane."""
+        import numpy as np
+
+        cfg = small_cfg(lighting="restir")
+        scene = cornell_box()
+        state = RenderState.create(cfg)
+        imgs = []
+        for i in range(5):
+            cam = Camera(
+                position=(1.0 + 0.05 * i, 1.0, 3.4 - 0.05 * i),
+                target=(1.0, 1.0, 0.0), fov_y=45.0,
+            )
+            mats = camera_matrices(cam, cfg.width, cfg.height)
+            state, ldr, aux = jax.jit(
+                lambda st, m: render_frame(scene, cfg, st, m)
+            )(state, mats)
+            imgs.append(np.asarray(ldr))
+            if i >= 2:
+                motion = np.asarray(aux["motion"])
+                inside = np.asarray(aux["depth"]) < 9000.0
+                # camera moved -> nonzero reprojection offsets
+                assert np.abs(motion[inside]).max() > 1e-4
+        for img in imgs:
+            assert np.isfinite(img).all()
+            assert img.mean() > 0.02
