@@ -77,9 +77,14 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     Misses produce valid=False with dist=-1 (ray_miss.slang:9-13 sentinel).
     """
     tri = jnp.where(hit.hit, hit.tri, 0)
-    inst = gather_vec(scene.tri_inst, tri)                       # (N,)
+    # Per-triangle indices ride one packed row gather (vidx + instance id).
+    tpack = jnp.concatenate(
+        [scene.tri_vidx, scene.tri_inst[:, None]], axis=1
+    )                                                            # (T, 4)
+    trow = tpack[tri]                                            # (N, 4)
+    vidx = trow[:, 0:3]                                          # (N, 3)
+    inst = trow[:, 3]                                            # (N,)
     prim = gather_vec(scene.inst_prim, inst)                     # (N,)
-    vidx = gather_vec(scene.tri_vidx, tri)                       # (N, 3)
 
     # All per-vertex attributes ride THREE packed row gathers (one per
     # triangle corner) instead of ~60 scalar gathers — the TPU gather
