@@ -107,6 +107,16 @@ class RenderConfig:
     #                (ray_gen_final.slang:164-167), exact parity, slower.
     spatial_taps: str = "shared"
 
+    # Banded history gathers (ops/banded.py): the temporal-reuse and TAA
+    # history reads gather from a [band +/- halo]-row window around each
+    # destination row band so every gather's table fits VMEM and
+    # vectorizes (TPU-only; plain gathers elsewhere). History farther than
+    # `halo` rows vertically is rejected exactly like off-screen history —
+    # one lost frame of temporal reuse under very fast vertical pans.
+    # band=0 disables (always full-table gathers).
+    history_gather_band: int = 16
+    history_gather_halo: int = 16
+
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete
     # scene (scenes without MASK materials keep the tight opaque-only path,

@@ -1,0 +1,76 @@
+"""Banded (VMEM-sized) row gathers for screen-space history reads.
+
+XLA's TPU gather emitter vectorizes a dynamic gather only when it can stage
+the table in the op's scoped VMEM (~16 MB/core); past that it serializes at
+~25 ns/scalar plus a large per-op charge (docs/PERFORMANCE.md). The two
+remaining big gathers in the frame — ReSTIR temporal-reuse history and the
+TAA bilinear history fetch — read a full-resolution history image at
+reprojected pixel positions, so their tables are tens of MB and serialize.
+
+The screen-space structure saves us: a reprojected read lands *near* its
+destination pixel (distance = per-frame motion in pixels). Splitting the
+destination image into horizontal bands and gathering each band only from a
+[band - halo, band + halo] window of source rows keeps every per-op table a
+few MB (VMEM-cacheable) while staying exact for any vertical motion up to
+`halo` pixels. Reads outside the window are reported via an `in_band` mask
+so callers fall back the way the reference already handles invalid history
+(reject the reservoir / use the current frame's color) — a fast vertical
+pan simply loses one frame of temporal reuse on TPU, which the confidence
+clamps largely do anyway. Horizontal motion is unrestricted (windows span
+full rows).
+
+The reference has no analog (hardware texture units make gathers free);
+this is a TPU-only execution strategy, documented in docs/PARITY.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Window sizing: the gathered window is (band + 2*halo) rows x W x C floats.
+# At 1080p with C=17 (GI reservoir), band=halo=16 gives a 48-row window
+# = 6.3 MB — inside VMEM with room for the index/result buffers.
+DEFAULT_BAND = 16
+DEFAULT_HALO = 16
+
+
+def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
+                      force=None):
+    """Gather rows of a raster-ordered (P, C) table at per-lane indices.
+
+    table: (P, C) where P = H * width, rows in raster order.
+    idx:   (P,) int32 global flat indices; lane i (destination pixel i in
+           raster order) reads table[idx[i]].
+    Returns (rows (P, C), in_band (P,) bool). Lanes whose source row is
+    farther than `halo` rows from the destination band get in_band=False
+    and an arbitrary (clamped) row — callers must mask on in_band.
+
+    force: True/False overrides the backend gate (tests); default is the
+    TPU-only gate (CPU gathers are fine and keep goldens bit-exact).
+    """
+    p, c = table.shape
+    h = p // width
+    use = force if force is not None else (jax.default_backend() == "tpu")
+    if not use or h <= band + 2 * halo:
+        return table[idx], jnp.ones((p,), bool)
+
+    pad = jnp.zeros((halo * width, c), table.dtype)
+    padded = jnp.concatenate([pad, table, pad], axis=0)
+
+    outs = []
+    oks = []
+    for b0 in range(0, h, band):
+        bh = min(band, h - b0)
+        dst0 = b0 * width
+        idx_b = jax.lax.slice(idx, (dst0,), (dst0 + bh * width,))
+        # Window rows [b0 - halo, b0 + bh + halo) in image coords =
+        # [b0, b0 + bh + 2*halo) in padded coords.
+        win = (bh + 2 * halo) * width
+        local = idx_b - (b0 - halo) * width
+        ok = (local >= 0) & (local < win)
+        tbl = jax.lax.slice(padded, (b0 * width, 0), (b0 * width + win, c))
+        rows = tbl[jnp.clip(local, 0, win - 1)]
+        outs.append(rows)
+        oks.append(ok)
+    return jnp.concatenate(outs, axis=0), jnp.concatenate(oks, axis=0)

@@ -82,6 +82,8 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
         accum = temporal_accumulate(
             raw_img, motion_img, state.accum, frame_count,
             cfg.accumulation_factor,
+            history_band=cfg.history_gather_band,
+            history_halo=cfg.history_gather_halo,
         )
     else:
         accum = raw_img

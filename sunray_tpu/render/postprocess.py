@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sunray_tpu.ops.banded import banded_row_gather
 from sunray_tpu.ops.brdf import vec_norm
 
 LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
@@ -68,8 +69,49 @@ def bilinear_sample(img, uv):
     return (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
 
 
+def bilinear_sample_banded(img, uv, band, halo, force=None):
+    """Bilinear history fetch as ONE banded 12-column row gather.
+
+    The four corner taps of `bilinear_sample` are packed into a
+    (H, W, 12) table via +1-pixel edge-clamped shifts, so one row gather at
+    (by, bx) moves all four corners; the gather itself runs banded
+    (ops/banded.py) so each per-band table fits VMEM and vectorizes.
+    Clipping px/py to [0, size-1] before floor is exactly equivalent to the
+    original per-corner index clamping (both end up blending duplicated
+    edge texels with matching weights).
+
+    Returns (color (H, W, C), valid (H, W) bool) — valid=False where the
+    source row is farther than `halo` rows from the destination (treated by
+    TAA exactly like off-screen history).
+    """
+    h, w = img.shape[:2]
+    c = img.shape[2]
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    packed = jnp.concatenate([img, right, down, downright], axis=-1)
+    px = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    py = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    bx = jnp.floor(px).astype(jnp.int32)
+    by = jnp.floor(py).astype(jnp.int32)
+    fx = (px - bx)[..., None]
+    fy = (py - by)[..., None]
+    idx = (by * w + bx).reshape(-1)
+    rows, ok = banded_row_gather(
+        packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force
+    )
+    rows = rows.reshape(h, w, 4 * c)
+    h00 = rows[..., 0 * c : 1 * c]
+    h10 = rows[..., 1 * c : 2 * c]
+    h01 = rows[..., 2 * c : 3 * c]
+    h11 = rows[..., 3 * c : 4 * c]
+    out = (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
+    return out, ok.reshape(h, w)
+
+
 def temporal_accumulate(raw, motion, history, frame_count,
-                        accumulation_factor=ACCUMULATION_FACTOR):
+                        accumulation_factor=ACCUMULATION_FACTOR,
+                        history_band=0, history_halo=0):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
@@ -99,11 +141,17 @@ def temporal_accumulate(raw, motion, history, frame_count,
     prev_uv = uv - motion
 
     off_screen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
-    hist = bilinear_sample(history, prev_uv)
+    if history_band > 0:
+        hist, valid = bilinear_sample_banded(
+            history, prev_uv, history_band, history_halo
+        )
+    else:
+        hist = bilinear_sample(history, prev_uv)
+        valid = True
     clamped = jnp.clip(hist, min_c, max_c)
     blended = clamped + (raw - clamped) * accumulation_factor
 
-    use_history = (~off_screen) & (frame_count > 2)
+    use_history = (~off_screen) & valid & (frame_count > 2)
     return jnp.where(use_history[..., None], blended, raw)
 
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from sunray_tpu.ops import rng as rng_mod
+from sunray_tpu.ops.banded import banded_row_gather
 from sunray_tpu.ops.linalg import gather_vec
 from sunray_tpu.ops.brdf import (
     eval_unshadowed_light,
@@ -222,13 +223,18 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     return seed, r
 
 
-def _gather_packed(fields, idx):
+def _gather_packed(fields, idx, width=0, band=0, halo=0):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
     moves C scalars per index in one op — measured ~C-fold cheaper than C
     separate 1-D gathers in the frame program. int32 fields ride along
-    bitcast to f32."""
+    bitcast to f32.
+
+    With band > 0 the gather additionally runs banded (ops/banded.py: each
+    destination row band reads only a VMEM-sized window of source rows) and
+    the last return value is the in-band validity mask; otherwise it is
+    None (meaning all-valid)."""
     cols = []
     spec = []  # (is_int, ncomp)
     for f in fields:
@@ -241,7 +247,11 @@ def _gather_packed(fields, idx):
             cols.append(g)
             spec.append((is_int, g.shape[1]))
     packed = jnp.concatenate(cols, axis=1)           # (P, C)
-    rows = packed[idx]                                # one gather
+    if band > 0 and width > 0:
+        rows, in_band = banded_row_gather(packed, idx, width, band, halo)
+    else:
+        rows = packed[idx]                            # one gather
+        in_band = None
     out = []
     o = 0
     for is_int, n in spec:
@@ -252,21 +262,29 @@ def _gather_packed(fields, idx):
             g = jax.lax.bitcast_convert_type(g, jnp.int32)
         out.append(g)
         o += n
-    return out
+    return out, in_band
 
 
 def gather_reservoir_di(r: ReservoirDI, idx) -> ReservoirDI:
     """Gather reservoir lanes at pixel indices idx (history/neighbor reads)
     with a single packed-row gather (13 scalars per lane)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
-    out = _gather_packed(leaves, idx)
+    out, _ = _gather_packed(leaves, idx)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
     leaves, treedef = jax.tree_util.tree_flatten(r)
-    out = _gather_packed(leaves, idx)
+    out, _ = _gather_packed(leaves, idx)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _gather_reservoir_banded(r, idx, width, band, halo):
+    """History gather for temporal reuse: banded when band > 0 (TPU hot
+    path), plain otherwise. Returns (reservoir, in_band-or-None)."""
+    leaves, treedef = jax.tree_util.tree_flatten(r)
+    out, in_band = _gather_packed(leaves, idx, width, band, halo)
+    return jax.tree_util.tree_unflatten(treedef, out), in_band
 
 
 def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
@@ -284,7 +302,11 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
 
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h = gather_reservoir_di(history, pi)
+    h, in_band = _gather_reservoir_banded(
+        history, pi, width, cfg.history_gather_band, cfg.history_gather_halo
+    )
+    if in_band is not None:
+        ok = ok & in_band
     h = h.replace(
         M=jnp.minimum(h.M, cfg.di_temporal_m_clamp),
         W=jnp.minimum(h.W, cfg.di_temporal_w_clamp),
@@ -328,7 +350,11 @@ def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
     in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h = gather_reservoir_gi(history, pi)
+    h, in_band = _gather_reservoir_banded(
+        history, pi, width, cfg.history_gather_band, cfg.history_gather_halo
+    )
+    if in_band is not None:
+        ok = ok & in_band
 
     ndot = jnp.sum(hit_normal * h.hit_normal, axis=-1)
     normal_conf = smoothstep(0.8, 0.95, ndot)
