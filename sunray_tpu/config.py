@@ -116,6 +116,13 @@ class RenderConfig:
     # band=0 disables (always full-table gathers).
     history_gather_band: int = 16
     history_gather_halo: int = 16
+    # "rows": gather rows of the packed (P, C) history table; "lanes":
+    # gather on the transposed (C, P) table so results keep the frame's
+    # P-minor layout (avoids relayout copies around row gathers).
+    # WARNING: "lanes" is experimental — correct (unit-tested) but at
+    # 1080p the TPU compile did not finish within 9 minutes (pathological
+    # layout assignment); keep "rows" until toolchains improve.
+    history_gather_layout: str = "rows"
 
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete

@@ -36,7 +36,7 @@ DEFAULT_HALO = 16
 
 
 def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
-                      force=None):
+                      force=None, layout="rows"):
     """Gather rows of a raster-ordered (P, C) table at per-lane indices.
 
     table: (P, C) where P = H * width, rows in raster order.
@@ -48,6 +48,13 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
 
     force: True/False overrides the backend gate (tests); default is the
     TPU-only gate (CPU gathers are fine and keep goldens bit-exact).
+
+    layout: "rows" gathers rows of the (P, C) table; "lanes" runs the
+    same gather on the transposed (C, P) table (columns along the TPU
+    lane dimension) — the result and every unpacked field then keep the
+    P-minor layout the rest of the frame uses, avoiding the
+    {1,0}<->{0,1} relayout copies XLA otherwise inserts around row
+    gathers (~1.4 ms per (P,4) conversion, measured).
     """
     p, c = table.shape
     h = p // width
@@ -55,11 +62,29 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     if not use or h <= band + 2 * halo:
         return table[idx], jnp.ones((p,), bool)
 
-    pad = jnp.zeros((halo * width, c), table.dtype)
-    padded = jnp.concatenate([pad, table, pad], axis=0)
-
     outs = []
     oks = []
+    if layout == "lanes":
+        pad = jnp.zeros((c, halo * width), table.dtype)
+        padded = jnp.concatenate([pad, table.T, pad], axis=1)
+        for b0 in range(0, h, band):
+            bh = min(band, h - b0)
+            dst0 = b0 * width
+            idx_b = jax.lax.slice(idx, (dst0,), (dst0 + bh * width,))
+            win = (bh + 2 * halo) * width
+            local = idx_b - (b0 - halo) * width
+            ok = (local >= 0) & (local < win)
+            tbl = jax.lax.slice(padded, (0, b0 * width), (c, b0 * width + win))
+            cols = tbl[:, jnp.clip(local, 0, win - 1)]
+            outs.append(cols)
+            oks.append(ok)
+        return (
+            jnp.concatenate(outs, axis=1).T,
+            jnp.concatenate(oks, axis=0),
+        )
+
+    pad = jnp.zeros((halo * width, c), table.dtype)
+    padded = jnp.concatenate([pad, table, pad], axis=0)
     for b0 in range(0, h, band):
         bh = min(band, h - b0)
         dst0 = b0 * width

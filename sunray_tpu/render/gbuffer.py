@@ -156,7 +156,10 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
             v_view=sel3(rec, -c["ray_d"], c["v_view"]),
         )
 
-    c = bounded_loop(cond, body, init, cfg.virtual_bounces, cfg.differentiable)
+    # peel=1: the primary-ray round always runs; fusing it with the frame
+    # avoids one while_loop carry materialization (ops/loops.py).
+    c = bounded_loop(cond, body, init, cfg.virtual_bounces, cfg.differentiable,
+                     peel=1)
     return c
 
 

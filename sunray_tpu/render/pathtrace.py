@@ -269,7 +269,11 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             f_throughput=_sel3(frz, throughput, c["f_throughput"]),
         )
 
-    c = bounded_loop(cond, body, init, cfg.bounces, cfg.differentiable)
+    # peel=1: the first bounce round always runs; inlining it fuses the
+    # trace/shade/BRDF body with the rest of the frame instead of paying
+    # the while_loop carry materialization (ops/loops.py).
+    c = bounded_loop(cond, body, init, cfg.bounces, cfg.differentiable,
+                     peel=1)
     radiance = c["radiance"]
     seed = c["seed"]
 

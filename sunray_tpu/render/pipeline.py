@@ -84,6 +84,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             cfg.accumulation_factor,
             history_band=cfg.history_gather_band,
             history_halo=cfg.history_gather_halo,
+            history_layout=cfg.history_gather_layout,
         )
     else:
         accum = raw_img

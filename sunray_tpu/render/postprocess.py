@@ -69,7 +69,7 @@ def bilinear_sample(img, uv):
     return (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
 
 
-def bilinear_sample_banded(img, uv, band, halo, force=None):
+def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows"):
     """Bilinear history fetch as ONE banded 12-column row gather.
 
     The four corner taps of `bilinear_sample` are packed into a
@@ -98,7 +98,8 @@ def bilinear_sample_banded(img, uv, band, halo, force=None):
     fy = (py - by)[..., None]
     idx = (by * w + bx).reshape(-1)
     rows, ok = banded_row_gather(
-        packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force
+        packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force,
+        layout=layout,
     )
     rows = rows.reshape(h, w, 4 * c)
     h00 = rows[..., 0 * c : 1 * c]
@@ -111,7 +112,8 @@ def bilinear_sample_banded(img, uv, band, halo, force=None):
 
 def temporal_accumulate(raw, motion, history, frame_count,
                         accumulation_factor=ACCUMULATION_FACTOR,
-                        history_band=0, history_halo=0):
+                        history_band=0, history_halo=0,
+                        history_layout="rows"):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
@@ -143,7 +145,8 @@ def temporal_accumulate(raw, motion, history, frame_count,
     off_screen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
     if history_band > 0:
         hist, valid = bilinear_sample_banded(
-            history, prev_uv, history_band, history_halo
+            history, prev_uv, history_band, history_halo,
+            layout=history_layout,
         )
     else:
         hist = bilinear_sample(history, prev_uv)

@@ -223,7 +223,7 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     return seed, r
 
 
-def _gather_packed(fields, idx, width=0, band=0, halo=0):
+def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows"):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -248,7 +248,8 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0):
             spec.append((is_int, g.shape[1]))
     packed = jnp.concatenate(cols, axis=1)           # (P, C)
     if band > 0 and width > 0:
-        rows, in_band = banded_row_gather(packed, idx, width, band, halo)
+        rows, in_band = banded_row_gather(packed, idx, width, band, halo,
+                                          layout=layout)
     else:
         rows = packed[idx]                            # one gather
         in_band = None
@@ -279,11 +280,11 @@ def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _gather_reservoir_banded(r, idx, width, band, halo):
+def _gather_reservoir_banded(r, idx, width, band, halo, layout="rows"):
     """History gather for temporal reuse: banded when band > 0 (TPU hot
     path), plain otherwise. Returns (reservoir, in_band-or-None)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
-    out, in_band = _gather_packed(leaves, idx, width, band, halo)
+    out, in_band = _gather_packed(leaves, idx, width, band, halo, layout)
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
 
@@ -303,7 +304,8 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
 
     pi = jnp.clip(py * width + px, 0, width * height - 1)
     h, in_band = _gather_reservoir_banded(
-        history, pi, width, cfg.history_gather_band, cfg.history_gather_halo
+        history, pi, width, cfg.history_gather_band,
+        cfg.history_gather_halo, cfg.history_gather_layout,
     )
     if in_band is not None:
         ok = ok & in_band
@@ -351,7 +353,8 @@ def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
     h, in_band = _gather_reservoir_banded(
-        history, pi, width, cfg.history_gather_band, cfg.history_gather_halo
+        history, pi, width, cfg.history_gather_band,
+        cfg.history_gather_halo, cfg.history_gather_layout,
     )
     if in_band is not None:
         ok = ok & in_band

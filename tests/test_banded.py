@@ -9,12 +9,14 @@ mask flags exactly the lanes it cannot serve.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sunray_tpu.ops.banded import banded_row_gather
 from sunray_tpu.render.postprocess import bilinear_sample, bilinear_sample_banded
 
 
-def test_banded_matches_plain_within_halo():
+@pytest.mark.parametrize("layout", ["rows", "lanes"])
+def test_banded_matches_plain_within_halo(layout):
     rng = np.random.default_rng(0)
     h, w, c = 40, 16, 5
     band, halo = 4, 6
@@ -27,7 +29,8 @@ def test_banded_matches_plain_within_halo():
     src_x = rng.integers(0, w, size=h * w)
     idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
 
-    rows, ok = banded_row_gather(table, idx, w, band, halo, force=True)
+    rows, ok = banded_row_gather(table, idx, w, band, halo, force=True,
+                                 layout=layout)
     np.testing.assert_array_equal(np.asarray(ok), True)
     np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
 
