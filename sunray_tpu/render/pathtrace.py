@@ -348,17 +348,27 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     gdepth = gbuf.depth
     current_depth = vec_norm(pos - cam_origin)
 
-    def neighbor_ok(nx, ny):
+    def perpixel_neighbor(nx, ny, reservoir):
+        """Per-pixel random-disc neighbor fetch (the reference's exact
+        taps, ray_gen_final.slang:164-167): reservoir + G-buffer
+        normal/depth in ONE packed row gather (amortizes what used to be
+        three separate gathers per tap). Deliberately NOT banded: 8 taps
+        x 68 bands of gather ops sent the 1080p TPU compile past 18
+        minutes (docs/PERFORMANCE.md); the plain packed gather compiles
+        normally and perpixel is the exact-parity mode, not the default
+        hot path (spatial_taps='shared' is)."""
         inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
         ni = jnp.clip(ny * w + nx, 0, p - 1)
-        nn = gnormal[ni]
-        nd = gdepth[ni]
+        leaves, treedef = jax.tree_util.tree_flatten(reservoir)
+        out, _ = restir._gather_packed(leaves + [gnormal, gdepth], ni)
+        nr = jax.tree_util.tree_unflatten(treedef, out[:-2])
+        nn, nd = out[-2], out[-1]
         ok = (
             inb
             & (dot(normal, nn) >= 0.9)
             & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
         )
-        return ni, ok
+        return nr, nd, ok
 
     def shared_neighbor(dx, dy, reservoir):
         """Shift-based neighbor fetch: (reservoir', gdepth', ok_geom)."""
@@ -408,8 +418,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             radius = jnp.sqrt(ur) * cfg.di_spatial_radius
             nx = px + (jnp.cos(angle) * radius).astype(jnp.int32)
             ny = py + (jnp.sin(angle) * radius).astype(jnp.int32)
-            ni, ok = neighbor_ok(nx, ny)
-            nr = restir.gather_reservoir_di(r_di, ni)
+            nr, _, ok = perpixel_neighbor(nx, ny, r_di)
         nr = nr.replace(
             W=jnp.minimum(nr.W, cfg.di_temporal_w_clamp),
             M=jnp.minimum(nr.M, cfg.di_temporal_m_clamp),
@@ -477,9 +486,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             dy = (jnp.sin(angle) * radius).astype(jnp.int32)
             nx = px + dx
             ny = py + dy
-            ni, ok = neighbor_ok(nx, ny)
-            nr = restir.gather_reservoir_gi(r_gi, ni)
-            n_depth = gdepth[ni]
+            nr, n_depth, ok = perpixel_neighbor(nx, ny, r_gi)
         ok = ok & ~((dx == 0) & (dy == 0))
         ok = ok & (nr.W > 0.0)
         nr = nr.replace(

@@ -209,3 +209,64 @@ class TestMovingCamera:
         for img in imgs:
             assert np.isfinite(img).all()
             assert img.mean() > 0.02
+
+
+class TestPerPixelSpatialTaps:
+    def test_perpixel_matches_shapes_and_stays_finite(self):
+        """spatial_taps='perpixel' (the reference's exact per-pixel disc
+        draws, ray_gen_final.slang:164-167) through the full frame; the
+        neighbor reads run through the banded packed gather on TPU and the
+        plain gather here on CPU."""
+        import numpy as np
+
+        cfg = small_cfg(lighting="restir", spatial_taps="perpixel")
+        scene = cornell_box()
+        mats = camera_matrices(CAM, cfg.width, cfg.height)
+        state = RenderState.create(cfg)
+        step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
+        for _ in range(3):
+            state, ldr, aux = step(state)
+        img = np.asarray(ldr)
+        assert img.shape == (H, W, 3)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.02
+
+    def test_perpixel_banded_matches_plain_gather(self):
+        """Forcing the banded path (as on TPU) must not change perpixel
+        spatial reuse: the disc radius fits inside the halo, so every
+        in-bounds neighbor is in-band."""
+        import numpy as np
+        from unittest import mock
+        import sunray_tpu.ops.banded as banded_mod
+
+        cfg = small_cfg(lighting="restir", spatial_taps="perpixel",
+                        history_gather_band=4, history_gather_halo=4)
+        scene = cornell_box()
+
+        mats = camera_matrices(CAM, cfg.width, cfg.height)
+
+        def run():
+            state = RenderState.create(cfg)
+            step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
+            for _ in range(3):
+                state, ldr, _ = step(state)
+            return np.asarray(ldr)
+
+        plain = run()
+        orig = banded_mod.banded_row_gather
+        with mock.patch.object(
+            banded_mod, "banded_row_gather",
+            lambda *a, **k: orig(*a, **{**k, "force": True}),
+        ):
+            # restir/postprocess imported the symbol directly; patch there too
+            import sunray_tpu.render.restir as restir_mod
+            import sunray_tpu.render.postprocess as post_mod
+            with mock.patch.object(
+                restir_mod, "banded_row_gather",
+                lambda *a, **k: orig(*a, **{**k, "force": True}),
+            ), mock.patch.object(
+                post_mod, "banded_row_gather",
+                lambda *a, **k: orig(*a, **{**k, "force": True}),
+            ):
+                forced = run()
+        np.testing.assert_allclose(forced, plain, rtol=2e-5, atol=2e-6)
