@@ -70,6 +70,9 @@ class RenderConfig:
     enable_taa: bool = True
     accumulation_factor: float = 0.14
     denoise_passes: int = 4            # a-trous, step widths 1,2,4,8
+    # "auto": Pallas banded a-trous kernel on TPU (ops/pallas_image.py),
+    # jnp pad+slice elsewhere; "pallas"/"jnp" force a path.
+    denoise_kernel: str = "auto"
     exposure: float = 1.0
     tonemap: str = "aces"              # "aces" | "aces_srgb" | "none"
     gamma: float = 2.2

@@ -1,0 +1,229 @@
+"""Pallas TPU kernel for the edge-avoiding a-trous denoise pass.
+
+Why: each a-trous pass (shaders/denoise.slang:27-116) is 24 shifted taps
+over four guide images; the jnp formulation (pad + static slice per tap,
+render/postprocess.atrous_denoise_pass) charges the frame ~65 ms at 1080p
+in pad/slice data movement alone (docs/PERFORMANCE.md frame budget). Here
+the pass runs banded: each 32-row output band holds its guide window in
+VMEM and the 24 taps are static sublane/lane-shifted reads of that
+window — only the 3-channel result leaves the chip.
+
+Layout: channels-first planes (10, H, W) — color 3, depth 1, normal 3,
+diffuse 3 — so the image dims land on the (sublane, lane) tile. A packed
+(H, W, 10) layout would tile-pad the 10-wide trailing dim ~13x (CLAUDE.md:
+never materialize tiny trailing dims).
+
+Halo without overlapping BlockSpecs: the padded planes array is passed
+four times with different block shapes/index maps — the (block, cw) main
+tile, an (hr, cw) bottom-rows strip, a (block, wr) right-cols strip, and
+the (hr, wr) corner; the kernel stitches them into one
+(block + hr, cw + wr) window whose top-left (block + 4s, cw + 4s) region
+covers every tap. hr/wr are the halo thickness 4*step rounded up to the
+(8, 128) tile — Mosaic requires block-shape trailing dims divisible by
+the tile — so the concats are tile-aligned. Thin strips (instead of
+doubled full blocks) plus column blocking keep the scoped-VMEM footprint
+well under the 16 MB limit at 1080p — a first cut with two full-block
+row views OOM'd it (28.3 MB).
+
+Numerics match atrous_denoise_pass exactly (same weights and epsilons;
+zero padding is equivalent to the jnp path's edge padding because both
+zero the weight outside the image). Gradients route through the jnp
+reference via custom_vjp — the Pallas forward is TPU-only and
+inference-hot; the backward (training/inverse rendering) recomputes the
+jnp chain's VJP, which is the mathematically exact adjoint of the same
+filter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 5x5 B-spline, matches postprocess.ATROUS_KERNEL (denoise.slang:20).
+KERNEL_1D = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _luma(rgb):
+    return 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
+
+
+def _atrous_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, *, step, h, w,
+                   block, cw):
+    """One output tile: image rows [i*block, +block) x cols [j*cw, +cw).
+
+    a=main tile, b=bottom hr-row strip, c=right wr-col strip, d=corner of
+    the padded planes (image starts at padded row/col 2*step); their
+    tile-aligned stitching covers the tile's +/-2*step tap window (the
+    strips over-cover: hr,wr >= 4*step).
+    """
+    s = step
+    halo = 2 * s
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    wins = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([a_ref[ch], c_ref[ch]], axis=1),
+                jnp.concatenate([b_ref[ch], d_ref[ch]], axis=1),
+            ],
+            axis=0,
+        )
+        for ch in range(10)
+    ]
+
+    def tap(dy, dx):
+        r0 = halo + dy * s
+        c0 = halo + dx * s
+        return [wn[r0 : r0 + block, c0 : c0 + cw] for wn in wins]
+
+    ctr = tap(0, 0)
+    c_depth = ctr[3]
+    c_nrm = ctr[4:7]
+    c_dif = [jnp.maximum(d, 0.001) for d in ctr[7:10]]
+    c_il = [ctr[k] / c_dif[k] for k in range(3)]
+    c_luma = _luma(c_il)
+
+    kc = KERNEL_1D[2] * KERNEL_1D[2]
+    acc = [il * kc for il in c_il]
+    wsum = jnp.full((block, cw), kc, jnp.float32)
+
+    gy = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, cw), 0)
+    gx = j * cw + jax.lax.broadcasted_iota(jnp.int32, (block, cw), 1)
+
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dy == 0 and dx == 0:
+                continue
+            t = tap(dy, dx)
+            s_depth = t[3]
+            s_nrm = t[4:7]
+            s_dif = t[7:10]
+            s_il = [t[k] / jnp.maximum(s_dif[k], 0.001) for k in range(3)]
+            s_luma = _luma(s_il)
+            # center diffuse clamped, neighbor raw — matches the jnp pass.
+            dd = [c_dif[k] - s_dif[k] for k in range(3)]
+            diffuse_diff = jnp.sqrt(
+                jnp.maximum(dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2],
+                            1e-20)
+            )
+            luma_diff = jnp.abs(c_luma - s_luma)
+            luma_sigma = jnp.maximum(c_luma, s_luma) * 0.4 + 0.01
+            luma_ratio = luma_diff / luma_sigma
+            ndot = (c_nrm[0] * s_nrm[0] + c_nrm[1] * s_nrm[1]
+                    + c_nrm[2] * s_nrm[2])
+            power = (
+                -jnp.abs(c_depth - s_depth) * 8.0
+                + (ndot - 1.0) * 80.0
+                - diffuse_diff * 50.0
+                - luma_ratio * luma_ratio
+            )
+            iy = gy + dy * s
+            ix = gx + dx * s
+            in_b = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+            wgt = jnp.exp(power) * (KERNEL_1D[dx + 2] * KERNEL_1D[dy + 2])
+            wgt = jnp.where(in_b, wgt, 0.0)
+            for k in range(3):
+                acc[k] = acc[k] + s_il[k] * wgt
+            wsum = wsum + wgt
+
+    inv = 1.0 / jnp.maximum(wsum, 1e-4)
+    for k in range(3):
+        out_ref[k] = acc[k] * inv * c_dif[k]
+
+
+def _atrous_pass_pallas(planes, step, h, w):
+    """One a-trous pass. planes: (10, h, w) f32 -> (3, h, w) denoised illum
+    re-modulated (no bypass select — the caller applies it)."""
+    s = step
+    halo = 2 * s
+    hs = 4 * s                         # tap-window halo thickness
+    hr = -(-hs // 8) * 8               # bottom strip rows (sublane tile)
+    wr = -(-hs // LANE) * LANE         # right strip cols (lane tile)
+    block = max(32, hs)                # rows per tile; hr | block
+    cw = min(1024, -(-w // LANE) * LANE)   # cols per tile; wr | cw
+    grid_r = -(-h // block)
+    grid_c = -(-w // cw)
+    rows = grid_r * block + hr
+    cols = grid_c * cw + wr
+    # Image sits at (row, col) offset `halo` inside the zero-padded planes.
+    padded = jnp.pad(
+        planes, ((0, 0), (halo, rows - h - halo), (halo, cols - w - halo))
+    )
+    mb = block // hr                   # block rows, in bottom-strip units
+    mc = cw // wr
+    out = pl.pallas_call(
+        functools.partial(_atrous_kernel, step=s, h=h, w=w, block=block,
+                          cw=cw),
+        grid=(grid_r, grid_c),
+        in_specs=[
+            pl.BlockSpec((10, block, cw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, hr, cw), lambda i, j: (0, (i + 1) * mb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, block, wr), lambda i, j: (0, i, (j + 1) * mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, hr, wr),
+                         lambda i, j: (0, (i + 1) * mb, (j + 1) * mc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, block, cw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, grid_r * block, grid_c * cw),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(padded, padded, padded, padded)
+    return out[:, :h, :w]
+
+
+def _atrous_forward(color, depth, normal, roughness, diffuse, passes):
+    h, w = color.shape[:2]
+    bypass = ((depth >= 10000.0) | (roughness < 0.1))[None]   # (1, h, w)
+    guide = jnp.concatenate(
+        [depth[None], normal.transpose(2, 0, 1), diffuse.transpose(2, 0, 1)],
+        axis=0,
+    )                                                          # (7, h, w)
+    cp = color.transpose(2, 0, 1)
+    for i in range(passes):
+        planes = jnp.concatenate([cp, guide], axis=0)
+        out = _atrous_pass_pallas(planes, 1 << i, h, w)
+        cp = jnp.where(bypass, cp, out)
+    return cp.transpose(1, 2, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def atrous_denoise_tpu(color, depth, normal, roughness, diffuse, passes):
+    """N-pass a-trous chain, Pallas forward / jnp-reference backward."""
+    return _atrous_forward(color, depth, normal, roughness, diffuse, passes)
+
+
+def _atrous_fwd(color, depth, normal, roughness, diffuse, passes):
+    out = _atrous_forward(color, depth, normal, roughness, diffuse, passes)
+    return out, (color, depth, normal, roughness, diffuse)
+
+
+def _atrous_bwd(passes, res, ct):
+    from sunray_tpu.render.postprocess import atrous_denoise
+
+    color, depth, normal, roughness, diffuse = res
+    _, vjp = jax.vjp(
+        lambda c, d, n, r, f: atrous_denoise(c, d, n, r, f, passes,
+                                             kernel="jnp"),
+        color, depth, normal, roughness, diffuse,
+    )
+    return vjp(ct)
+
+
+atrous_denoise_tpu.defvjp(_atrous_fwd, _atrous_bwd)

@@ -97,6 +97,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             gbuf.roughness.reshape(h, w),
             gbuf.diffuse.reshape(h, w, 3),
             cfg.denoise_passes,
+            kernel=cfg.denoise_kernel,
         )
     else:
         den = accum

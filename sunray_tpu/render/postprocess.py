@@ -101,11 +101,17 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows"):
         packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force,
         layout=layout,
     )
-    rows = rows.reshape(h, w, 4 * c)
-    h00 = rows[..., 0 * c : 1 * c]
-    h10 = rows[..., 1 * c : 2 * c]
-    h01 = rows[..., 2 * c : 3 * c]
-    h11 = rows[..., 3 * c : 4 * c]
+    if layout == "out_t":
+        corners = [
+            rows[k * c : (k + 1) * c].T.reshape(h, w, c) for k in range(4)
+        ]
+        h00, h10, h01, h11 = corners
+    else:
+        rows = rows.reshape(h, w, 4 * c)
+        h00 = rows[..., 0 * c : 1 * c]
+        h10 = rows[..., 1 * c : 2 * c]
+        h01 = rows[..., 2 * c : 3 * c]
+        h11 = rows[..., 3 * c : 4 * c]
     out = (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
     return out, ok.reshape(h, w)
 
@@ -223,8 +229,22 @@ def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
     return jnp.where(bypass[..., None], color, out)
 
 
-def atrous_denoise(color, depth, normal, roughness, diffuse, passes: int):
-    """N a-trous passes at step widths 1,2,4,... (src/lib.rs:42,1818)."""
+def atrous_denoise(color, depth, normal, roughness, diffuse, passes: int,
+                   kernel: str = "auto"):
+    """N a-trous passes at step widths 1,2,4,... (src/lib.rs:42,1818).
+
+    kernel: "auto" runs the Pallas banded kernel on TPU and the jnp
+    pad+slice formulation elsewhere; "pallas"/"jnp" force a path (tests;
+    "pallas" off-TPU runs in interpret mode)."""
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas and passes > 0:
+        from sunray_tpu.ops.pallas_image import atrous_denoise_tpu
+
+        return atrous_denoise_tpu(
+            color, depth, normal, roughness, diffuse, passes
+        )
     for i in range(passes):
         color = atrous_denoise_pass(
             color, depth, normal, roughness, diffuse, 1 << i
