@@ -54,13 +54,20 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     lane dimension) — the result and every unpacked field then keep the
     P-minor layout the rest of the frame uses, avoiding the
     {1,0}<->{0,1} relayout copies XLA otherwise inserts around row
-    gathers (~1.4 ms per (P,4) conversion, measured).
+    gathers (~1.4 ms per (P,4) conversion, measured). "out_t" keeps the
+    row-major table but asks lax.gather for a transposed (C, P) result
+    via offset_dims=(0,) — same goal as "lanes" (P-minor output, no
+    relayout) without transposing the table (which is what blew the
+    1080p compile past 9 minutes). With "out_t" the result is (C, P).
     """
     p, c = table.shape
     h = p // width
     use = force if force is not None else (jax.default_backend() == "tpu")
     if not use or h <= band + 2 * halo:
-        return table[idx], jnp.ones((p,), bool)
+        rows = table[idx]
+        if layout == "out_t":
+            rows = rows.T
+        return rows, jnp.ones((p,), bool)
 
     outs = []
     oks = []
@@ -95,7 +102,18 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         local = idx_b - (b0 - halo) * width
         ok = (local >= 0) & (local < win)
         tbl = jax.lax.slice(padded, (b0 * width, 0), (b0 * width + win, c))
-        rows = tbl[jnp.clip(local, 0, win - 1)]
+        local = jnp.clip(local, 0, win - 1)
+        if layout == "out_t":
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(0,), collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            )
+            rows = jax.lax.gather(
+                tbl, local[:, None], dnums, slice_sizes=(1, c)
+            )                                   # (c, bh*width)
+        else:
+            rows = tbl[local]
         outs.append(rows)
         oks.append(ok)
-    return jnp.concatenate(outs, axis=0), jnp.concatenate(oks, axis=0)
+    axis = 1 if layout == "out_t" else 0
+    return jnp.concatenate(outs, axis=axis), jnp.concatenate(oks, axis=0)

@@ -256,9 +256,13 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows"):
     out = []
     o = 0
     for is_int, n in spec:
-        g = rows[:, o : o + n]
-        if n == 1:
-            g = g[:, 0]
+        if layout == "out_t" and band > 0 and width > 0:
+            # rows is (C, P): per-component slices are lane-major 1-D.
+            g = rows[o] if n == 1 else rows[o : o + n].T
+        else:
+            g = rows[:, o : o + n]
+            if n == 1:
+                g = g[:, 0]
         if is_int:
             g = jax.lax.bitcast_convert_type(g, jnp.int32)
         out.append(g)

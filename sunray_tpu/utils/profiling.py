@@ -56,6 +56,71 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def summarize_trace(log_dir: str, top: int = 25, steady_frac: float = 0.5):
+    """Parse the newest *.trace.json.gz under a device_trace() log dir into
+    a per-op cost table (the manual workflow from docs/PERFORMANCE.md's
+    "device profiler" loop, as a utility).
+
+    Groups TensorCore complete-events by op name, keeping only the steady
+    tail of the trace (`steady_frac` of wall time — skips compile/warmup
+    events at the front). Returns a list of
+    {"name", "total_ms", "count", "pct"} sorted by total time desc;
+    prints the top `top` rows.
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    # Device lanes: processes whose name mentions TPU/TensorCore; fall back
+    # to every complete event if the metadata is absent.
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and any(k in e.get("args", {}).get("name", "")
+                for k in ("TPU", "Tensor", "/device:"))
+    }
+    xs = [
+        e for e in events
+        if e.get("ph") == "X" and e.get("dur")
+        and (not device_pids or e.get("pid") in device_pids)
+    ]
+    if not xs:
+        raise ValueError("trace has no complete events on device lanes")
+    t0 = min(e["ts"] for e in xs)
+    t1 = max(e["ts"] + e["dur"] for e in xs)
+    cut = t1 - (t1 - t0) * steady_frac
+    agg: dict = {}
+    for e in xs:
+        if e["ts"] < cut:
+            continue
+        name = e["name"]
+        tot, cnt = agg.get(name, (0.0, 0))
+        agg[name] = (tot + e["dur"], cnt + 1)
+    total = sum(t for t, _ in agg.values())
+    rows = [
+        {"name": n, "total_ms": t / 1e3, "count": c,
+         "pct": 100.0 * t / total}
+        for n, (t, c) in agg.items()
+    ]
+    rows.sort(key=lambda r: -r["total_ms"])
+    for r in rows[:top]:
+        print(f"{r['total_ms']:9.2f} ms {r['pct']:5.1f}% x{r['count']:<5d} "
+              f"{r['name'][:110]}")
+    return rows
+
+
 def stage_timings(scene, cfg, state, mats, accel=None, repeats: int = 3):
     """Wall-clock per-stage breakdown of one frame, by running incremental
     prefixes of the pipeline (XLA fuses aggressively, so 'time inside one

@@ -15,7 +15,7 @@ from sunray_tpu.ops.banded import banded_row_gather
 from sunray_tpu.render.postprocess import bilinear_sample, bilinear_sample_banded
 
 
-@pytest.mark.parametrize("layout", ["rows", "lanes"])
+@pytest.mark.parametrize("layout", ["rows", "lanes", "out_t"])
 def test_banded_matches_plain_within_halo(layout):
     rng = np.random.default_rng(0)
     h, w, c = 40, 16, 5
@@ -31,6 +31,8 @@ def test_banded_matches_plain_within_halo(layout):
 
     rows, ok = banded_row_gather(table, idx, w, band, halo, force=True,
                                  layout=layout)
+    if layout == "out_t":
+        rows = rows.T
     np.testing.assert_array_equal(np.asarray(ok), True)
     np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
 
