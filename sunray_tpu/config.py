@@ -126,6 +126,14 @@ class RenderConfig:
     # 1080p the TPU compile did not finish within 9 minutes (pathological
     # layout assignment); keep "rows" until toolchains improve.
     history_gather_layout: str = "rows"
+    # "banded": VMEM-windowed dynamic gathers (above). "shift": no gather
+    # at all — one compare+select per offset in a (2r+1)^2 neighborhood
+    # over flat-rolled tables (ops/banded.shift_row_gather); history
+    # farther than `shift_radius` pixels in EITHER axis is rejected like
+    # off-screen history. Exact for static cameras (reprojection delta is
+    # jitter-only) and pans up to r px/frame.
+    history_gather_mode: str = "banded"
+    history_shift_radius: int = 3
 
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete

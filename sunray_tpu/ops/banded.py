@@ -117,3 +117,43 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         oks.append(ok)
     axis = 1 if layout == "out_t" else 0
     return jnp.concatenate(outs, axis=axis), jnp.concatenate(oks, axis=0)
+
+
+def shift_row_gather(table, idx, width, radius_y, radius_x, force=None):
+    """Row gather restricted to a (2ry+1) x (2rx+1) screen-space
+    neighborhood of the destination pixel, with NO dynamic gather at all:
+    one compare+select per neighborhood offset over a flat-rolled view of
+    the table. XLA fuses the rolls (static lane rotations) and selects
+    into one elementwise loop, so the cost is ~(2ry+1)(2rx+1) reads of
+    the table per output element on the VPU — no serialized gather, no
+    relayout copies, no per-op table staging.
+
+    Returns (rows (P, C), ok (P,) bool): ok=False where the source pixel
+    is outside the neighborhood (callers treat it exactly like
+    banded_row_gather's out-of-band lanes: invalid history). Use for
+    reprojection-style reads where per-frame motion is a few pixels;
+    beyond `radius` the frame cleanly loses one frame of history.
+
+    Wraparound safety: a flat roll by sy*width + sx crosses a row
+    boundary only for lanes whose dst_x + sx leaves [0, width), but such
+    a lane cannot have dx == sx (src_x is always in-range), so rolled
+    garbage is never selected.
+    """
+    p, c = table.shape
+    use = force if force is not None else (jax.default_backend() == "tpu")
+    if not use:
+        return table[idx], jnp.ones((p,), bool)
+    dst = jnp.arange(p, dtype=idx.dtype)
+    dy = idx // width - dst // width
+    dx = idx % width - dst % width
+    ok = (jnp.abs(dy) <= radius_y) & (jnp.abs(dx) <= radius_x)
+    nx = 2 * radius_x + 1
+    key = jnp.where(ok, (dy + radius_y) * nx + (dx + radius_x), -1)
+    out = jnp.zeros_like(table)
+    k = 0
+    for sy in range(-radius_y, radius_y + 1):
+        for sx in range(-radius_x, radius_x + 1):
+            rolled = jnp.roll(table, -(sy * width + sx), axis=0)
+            out = jnp.where((key == k)[:, None], rolled, out)
+            k += 1
+    return out, ok

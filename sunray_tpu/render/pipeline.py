@@ -85,6 +85,8 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             history_band=cfg.history_gather_band,
             history_halo=cfg.history_gather_halo,
             history_layout=cfg.history_gather_layout,
+            history_mode=cfg.history_gather_mode,
+            history_radius=cfg.history_shift_radius,
         )
     else:
         accum = raw_img

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sunray_tpu.ops.banded import banded_row_gather
+from sunray_tpu.ops.banded import banded_row_gather, shift_row_gather
 from sunray_tpu.ops.brdf import vec_norm
 
 LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
@@ -69,7 +69,8 @@ def bilinear_sample(img, uv):
     return (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
 
 
-def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows"):
+def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
+                           mode="banded", radius=3):
     """Bilinear history fetch as ONE banded 12-column row gather.
 
     The four corner taps of `bilinear_sample` are packed into a
@@ -97,10 +98,16 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows"):
     fx = (px - bx)[..., None]
     fy = (py - by)[..., None]
     idx = (by * w + bx).reshape(-1)
-    rows, ok = banded_row_gather(
-        packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force,
-        layout=layout,
-    )
+    if mode == "shift":
+        rows, ok = shift_row_gather(
+            packed.reshape(h * w, 4 * c), idx, w, radius, radius, force=force,
+        )
+        layout = "rows"
+    else:
+        rows, ok = banded_row_gather(
+            packed.reshape(h * w, 4 * c), idx, w, band, halo, force=force,
+            layout=layout,
+        )
     if layout == "out_t":
         corners = [
             rows[k * c : (k + 1) * c].T.reshape(h, w, c) for k in range(4)
@@ -119,7 +126,8 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows"):
 def temporal_accumulate(raw, motion, history, frame_count,
                         accumulation_factor=ACCUMULATION_FACTOR,
                         history_band=0, history_halo=0,
-                        history_layout="rows"):
+                        history_layout="rows", history_mode="banded",
+                        history_radius=3):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
@@ -152,7 +160,7 @@ def temporal_accumulate(raw, motion, history, frame_count,
     if history_band > 0:
         hist, valid = bilinear_sample_banded(
             history, prev_uv, history_band, history_halo,
-            layout=history_layout,
+            layout=history_layout, mode=history_mode, radius=history_radius,
         )
     else:
         hist = bilinear_sample(history, prev_uv)

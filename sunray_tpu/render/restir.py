@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from sunray_tpu.ops import rng as rng_mod
-from sunray_tpu.ops.banded import banded_row_gather
+from sunray_tpu.ops.banded import banded_row_gather, shift_row_gather
 from sunray_tpu.ops.linalg import gather_vec
 from sunray_tpu.ops.brdf import (
     eval_unshadowed_light,
@@ -223,7 +223,8 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     return seed, r
 
 
-def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows"):
+def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
+                   mode="banded", radius=3):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -247,7 +248,9 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows"):
             cols.append(g)
             spec.append((is_int, g.shape[1]))
     packed = jnp.concatenate(cols, axis=1)           # (P, C)
-    if band > 0 and width > 0:
+    if band > 0 and width > 0 and mode == "shift":
+        rows, in_band = shift_row_gather(packed, idx, width, radius, radius)
+    elif band > 0 and width > 0:
         rows, in_band = banded_row_gather(packed, idx, width, band, halo,
                                           layout=layout)
     else:
@@ -256,7 +259,7 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows"):
     out = []
     o = 0
     for is_int, n in spec:
-        if layout == "out_t" and band > 0 and width > 0:
+        if layout == "out_t" and band > 0 and width > 0 and mode != "shift":
             # rows is (C, P): per-component slices are lane-major 1-D.
             g = rows[o] if n == 1 else rows[o : o + n].T
         else:
@@ -284,11 +287,16 @@ def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _gather_reservoir_banded(r, idx, width, band, halo, layout="rows"):
-    """History gather for temporal reuse: banded when band > 0 (TPU hot
-    path), plain otherwise. Returns (reservoir, in_band-or-None)."""
+def _gather_reservoir_banded(r, idx, width, cfg):
+    """History gather for temporal reuse: banded or shift-select per
+    cfg.history_gather_mode when history_gather_band > 0 (TPU hot path),
+    plain otherwise. Returns (reservoir, validity-mask-or-None)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
-    out, in_band = _gather_packed(leaves, idx, width, band, halo, layout)
+    out, in_band = _gather_packed(
+        leaves, idx, width, cfg.history_gather_band, cfg.history_gather_halo,
+        cfg.history_gather_layout, cfg.history_gather_mode,
+        cfg.history_shift_radius,
+    )
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
 
@@ -307,10 +315,7 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
 
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(
-        history, pi, width, cfg.history_gather_band,
-        cfg.history_gather_halo, cfg.history_gather_layout,
-    )
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg)
     if in_band is not None:
         ok = ok & in_band
     h = h.replace(
@@ -356,10 +361,7 @@ def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
     in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(
-        history, pi, width, cfg.history_gather_band,
-        cfg.history_gather_halo, cfg.history_gather_layout,
-    )
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg)
     if in_band is not None:
         ok = ok & in_band
 

@@ -105,3 +105,66 @@ def test_bilinear_banded_edge_clamp_exact():
     valid = np.asarray(valid)
     np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], rtol=1e-6, atol=1e-6)
     assert valid.mean() > 0.3
+
+
+def test_shift_gather_matches_plain_within_radius():
+    rng = np.random.default_rng(4)
+    h, w, c = 24, 20, 6
+    ry = rx = 3
+    from sunray_tpu.ops.banded import shift_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    dy = rng.integers(-ry, ry + 1, size=h * w)
+    dx = rng.integers(-rx, rx + 1, size=h * w)
+    src_y = np.clip(dst_y + dy, 0, h - 1)
+    src_x = np.clip(dst_x + dx, 0, w - 1)   # includes row-edge clamps
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True)
+    np.testing.assert_array_equal(np.asarray(ok), True)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
+
+
+def test_shift_gather_flags_outside_radius():
+    rng = np.random.default_rng(5)
+    h, w, c = 16, 12, 4
+    ry, rx = 2, 2
+    from sunray_tpu.ops.banded import shift_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    src_y = rng.integers(0, h, size=h * w)
+    src_x = rng.integers(0, w, size=h * w)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True)
+    ok = np.asarray(ok)
+    expect = (np.abs(src_y - dst_y) <= ry) & (np.abs(src_x - dst_x) <= rx)
+    np.testing.assert_array_equal(ok, expect)
+    np.testing.assert_allclose(np.asarray(rows)[ok], np.asarray(table[idx])[ok])
+    assert 0.05 < ok.mean() < 0.95
+
+
+def test_bilinear_shift_mode_matches_reference():
+    rng = np.random.default_rng(6)
+    h, w = 40, 24
+    img = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    xs = (jnp.arange(w) + 0.5) / w
+    ys = (jnp.arange(h) + 0.5) / h
+    uu, vv = jnp.meshgrid(xs, ys)
+    uv = jnp.stack([uu, vv], axis=-1)
+    motion = jnp.asarray(
+        rng.uniform(-2.0, 2.0, size=(h, w, 2)).astype(np.float32)
+    ) / jnp.asarray([w, h], jnp.float32)
+    prev_uv = uv - motion
+
+    ref = bilinear_sample(img, prev_uv)
+    out, valid = bilinear_sample_banded(
+        img, prev_uv, band=0, halo=0, force=True, mode="shift", radius=3
+    )
+    np.testing.assert_array_equal(np.asarray(valid), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
