@@ -77,6 +77,42 @@ def main():
             rec["note"] = "virtual-device run (correctness, not scaling)"
         print(json.dumps(rec))
 
+    # Explicit shard_map + ppermute halo-exchange path (parallel/spmd.py):
+    # same sweep, hand-written collectives instead of GSPMD.
+    from jax.sharding import Mesh
+    import numpy as np
+    from sunray_tpu.parallel.spmd import make_spmd_step, shard_state
+
+    base_rate = None
+    for n in sizes:
+        if max(int(cfg.history_gather_halo),
+               int(max(cfg.di_spatial_radius, cfg.gi_spatial_radius)) + 1) \
+                > h - h // n and n > 1:
+            continue
+        mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("sp",))
+        step = make_spmd_step(scene, cfg, mesh)
+        st = shard_state(RenderState.create(cfg), cfg, mesh)
+        st, ldr, _ = step(scene, st, mats)
+        jax.block_until_ready(ldr)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            st, ldr, _ = step(scene, st, mats)
+        jax.block_until_ready(ldr)
+        dt = (time.time() - t0) / reps
+        rate = (w * h) / dt
+        if base_rate is None:
+            base_rate = rate
+        rec = {
+            "path": "spmd_halo_exchange",
+            "devices": n, "frame_ms": round(dt * 1e3, 1),
+            "mpixels_per_s": round(rate / 1e6, 3),
+            "scaling_efficiency": round(rate / (base_rate * n), 3),
+        }
+        if args.cpu_devices:
+            rec["note"] = "virtual-device run (correctness, not scaling)"
+        print(json.dumps(rec))
+
 
 if __name__ == "__main__":
     main()

@@ -127,18 +127,27 @@ def camera_matrices(camera: Camera, width: int, height: int):
     }
 
 
-def generate_rays(matrices, width: int, height: int):
+def generate_rays(matrices, width: int, height: int, row0=None,
+                  rows: int = 0):
     """Primary camera rays for every pixel (ray_gen_ris.slang:44-53).
 
     Returns (origins, directions) with shape (H, W, 3). Row 0 is the top of
     the image (Vulkan launch-id convention); the y-flipped projection makes
     the world-space directions come out right.
+
+    row0/rows: generate only the `rows` global rows starting at traced row
+    index `row0` (shard_map row sharding, parallel/spmd.py) — the returned
+    arrays are then (rows, W, 3).
     """
     view_inverse = matrices["view_inverse"]
     proj_inverse = matrices["proj_inverse"]
 
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    if row0 is not None:
+        iy = row0.astype(jnp.float32) + jnp.arange(rows, dtype=jnp.float32)
+        py = (iy + 0.5) / height
+    else:
+        py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     u, v = jnp.meshgrid(px, py)          # (H, W)
     d = jnp.stack([u, v], axis=-1) * 2.0 - 1.0
 

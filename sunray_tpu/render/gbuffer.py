@@ -165,16 +165,30 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
 
 def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
              res_di_hist: restir.ReservoirDI, res_gi_hist: restir.ReservoirGI,
-             frame_count):
-    """Full pass 1. Returns (GBuffer, ReservoirDI, ReservoirGI)."""
-    w, h = cfg.width, cfg.height
-    p = w * h
+             frame_count, grid=None):
+    """Full pass 1. Returns (GBuffer, ReservoirDI, ReservoirGI).
 
-    origins, dirs = generate_rays(mats, w, h)
+    grid (parallel/halo.ShardGrid): shard_map row-sharded mode — all per-
+    pixel arrays cover this shard's rows only; pixel ids / uv / reprojection
+    stay GLOBAL (bit-matching the single-device pass), and the temporal
+    history gathers halo-exchange via ppermute."""
+    w, h = cfg.width, cfg.height
+    if grid is not None:
+        hl = grid.hl
+        p = w * hl
+        origins, dirs = generate_rays(mats, w, h, row0=grid.row0, rows=hl)
+        pix0 = grid.row0.astype(jnp.uint32) * jnp.uint32(w)
+        iy = grid.row0.astype(jnp.float32) + jnp.arange(hl, dtype=jnp.float32)
+    else:
+        hl = h
+        p = w * h
+        origins, dirs = generate_rays(mats, w, h)
+        pix0 = jnp.uint32(0)
+        iy = jnp.arange(h, dtype=jnp.float32)
     origins = origins.reshape(p, 3)
     dirs = dirs.reshape(p, 3)
 
-    pix = jnp.arange(p, dtype=jnp.uint32)
+    pix = pix0 + jnp.arange(p, dtype=jnp.uint32)
     seed = rng_mod.init_seed(pix, frame_count.astype(jnp.uint32))
 
     walk = primary_walk(scene, cfg, tracer, origins, dirs, seed)
@@ -183,7 +197,6 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
 
     # Reprojection + motion vectors (ray_gen_ris.slang:118-136).
     ix = jnp.arange(w, dtype=jnp.float32)
-    iy = jnp.arange(h, dtype=jnp.float32)
     uu, vv = jnp.meshgrid((ix + 0.5) / w, (iy + 0.5) / h)
     in_uv = jnp.stack([uu, vv], axis=-1).reshape(p, 2)
 
@@ -234,7 +247,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         lights, cfg, seed, r_di, res_di_hist, prev_uv, prev_valid, frame_count,
         walk["pos"], walk["normal"], walk["v_view"], walk["albedo"],
         walk["roughness"], walk["metallic"], walk["virtual_distance"],
-        w, h, enable_di,
+        w, h, enable_di, grid=grid,
     )
 
     # Visibility reuse (ray_gen_ris.slang:277-302).
@@ -329,7 +342,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     seed, r_gi = restir.gi_temporal_reuse(
         cfg, seed, r_gi, res_gi_hist, prev_uv, prev_valid, frame_count,
         walk["pos"], walk["normal"], walk["albedo"], walk["metallic"],
-        walk["virtual_distance"], w, h, found,
+        walk["virtual_distance"], w, h, found, grid=grid,
     )
     r_gi = r_gi.replace(
         hit_normal=jnp.where(found[:, None], walk["normal"], 0.0),

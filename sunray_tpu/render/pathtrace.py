@@ -69,11 +69,24 @@ def _blue_noise_tiled(w, h):
     return bn1, bn2
 
 
-def _blue_noise_rands(cfg, frame_count):
-    """Per-pixel first-bounce random pair (ray_gen_final.slang:44-50,393-399)."""
-    bn1_np, bn2_np = _blue_noise_tiled(cfg.width, cfg.height)
-    bn1 = jnp.asarray(bn1_np)
-    bn2 = jnp.asarray(bn2_np)
+def _blue_noise_rands(cfg, frame_count, grid=None):
+    """Per-pixel first-bounce random pair (ray_gen_final.slang:44-50,393-399).
+
+    grid: shard_map mode — row0 is traced, so instead of numpy-folded
+    constants the shard's rows come from a (NOISE_SIZE, W) column-tiled
+    table by one small row gather (the table is KBs, VMEM-cacheable)."""
+    if grid is None:
+        bn1_np, bn2_np = _blue_noise_tiled(cfg.width, cfg.height)
+        bn1 = jnp.asarray(bn1_np)
+        bn2 = jnp.asarray(bn2_np)
+    else:
+        noise = noise_texture()
+        xs = _np.arange(cfg.width) % NOISE_SIZE
+        cols1 = jnp.asarray(noise[:, xs])                       # (NS, W)
+        cols2 = jnp.asarray(noise[:, (xs + 47) % NOISE_SIZE])
+        gy = (grid.global_rows() % NOISE_SIZE).astype(jnp.int32)
+        bn1 = cols1[gy].reshape(-1)
+        bn2 = cols2[(gy + 71) % NOISE_SIZE].reshape(-1)
     fc = (frame_count % 1024).astype(jnp.float32)
     r1 = jnp.mod(bn1 + fc * _A1, 1.0)
     r2 = jnp.mod(bn2 + fc * _A2, 1.0)
@@ -82,22 +95,29 @@ def _blue_noise_rands(cfg, frame_count):
 
 def final_pass(scene, cfg, tracer, lights, mats, gbuf,
                r_di: restir.ReservoirDI, r_gi: restir.ReservoirGI,
-               frame_count):
-    """-> raw HDR color (P, 3)."""
+               frame_count, grid=None):
+    """-> raw HDR color (P, 3). grid: shard_map row sharding (ris_pass)."""
     w, h = cfg.width, cfg.height
-    p = w * h
     num_lights = lights.num if lights is not None else 0
     use_restir = cfg.lighting == "restir" and num_lights > 0
     use_nee = cfg.lighting == "nee" and num_lights > 0
 
-    origins, dirs = generate_rays(mats, w, h)
+    if grid is not None:
+        p = w * grid.hl
+        origins, dirs = generate_rays(mats, w, h, row0=grid.row0,
+                                      rows=grid.hl)
+        pix0 = grid.row0.astype(jnp.uint32) * jnp.uint32(w)
+    else:
+        p = w * h
+        origins, dirs = generate_rays(mats, w, h)
+        pix0 = jnp.uint32(0)
     origins = origins.reshape(p, 3)
     dirs = dirs.reshape(p, 3)
     cam_origin = origins[0]
 
-    pix = jnp.arange(p, dtype=jnp.uint32)
+    pix = pix0 + jnp.arange(p, dtype=jnp.uint32)
     seed = rng_mod.init_seed(pix, frame_count.astype(jnp.uint32))
-    bn_r1, bn_r2 = _blue_noise_rands(cfg, frame_count)
+    bn_r1, bn_r2 = _blue_noise_rands(cfg, frame_count, grid)
 
     z3 = jnp.zeros((p, 3), jnp.float32)
     z = jnp.zeros((p,), jnp.float32)
@@ -280,7 +300,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     if use_restir:
         radiance = radiance + _spatial_reuse(
             scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
-            seed, c, cam_origin, frame_count,
+            seed, c, cam_origin, frame_count, grid=grid,
         )
 
     # total_radiance = min(radiance, 10) (ray_gen_final.slang:430-431).
@@ -322,13 +342,27 @@ def _shared_taps(cfg, frame_count, count, radius, salt):
 
 
 def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
-                   seed, c, cam_origin, frame_count):
+                   seed, c, cam_origin, frame_count, grid=None):
     """Phase B: ReSTIR DI + GI spatial reuse at frozen first-rough hits
-    (ray_gen_final.slang:136-327). Returns radiance to add, (P, 3)."""
+    (ray_gen_final.slang:136-327). Returns radiance to add, (P, 3).
+
+    grid: shard_map row sharding — neighbor taps read halo-exchanged
+    copies of the reservoirs and G-buffer guides (parallel/halo.py), one
+    exchange per field covering the max tap radius; everything else is
+    per-lane and untouched."""
     w, h = cfg.width, cfg.height
-    p = w * h
+    p = w * (grid.hl if grid is not None else h)
     num_lights = lights.num
     shared = cfg.spatial_taps == "shared"
+
+    if grid is not None:
+        from sunray_tpu.parallel.halo import exchange_flat, shift_flat_ext
+        hs = grid.halo_s
+        xc = lambda f: exchange_flat(f, hs, grid)
+        gnormal_x = xc(gbuf.normal)
+        gdepth_x = xc(gbuf.depth)
+        r_di_x = jax.tree_util.tree_map(xc, r_di)
+        r_gi_x = jax.tree_util.tree_map(xc, r_gi)
 
     pending = c["pending"]
     pos = c["f_pos"]
@@ -339,7 +373,8 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     v_view = c["f_view"]
     throughput = c["f_throughput"]
 
-    pix = jnp.arange(p, dtype=jnp.int32)
+    pix0 = grid.row0 * w if grid is not None else 0
+    pix = pix0 + jnp.arange(p, dtype=jnp.int32)
     px = pix % w
     py = pix // w
     radiance = jnp.zeros((p, 3), jnp.float32)
@@ -358,9 +393,17 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         normally and perpixel is the exact-parity mode, not the default
         hot path (spatial_taps='shared' is)."""
         inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
-        ni = jnp.clip(ny * w + nx, 0, p - 1)
+        ni = jnp.clip(ny * w + nx, 0, w * h - 1)
         leaves, treedef = jax.tree_util.tree_flatten(reservoir)
-        out, _ = restir._gather_packed(leaves + [gnormal, gdepth], ni)
+        if grid is not None:
+            out, in_halo = restir._gather_packed(
+                leaves + [gnormal, gdepth], ni, grid=grid,
+                grid_halo=grid.halo_s,
+            )
+        else:
+            out, in_halo = restir._gather_packed(
+                leaves + [gnormal, gdepth], ni
+            )
         nr = jax.tree_util.tree_unflatten(treedef, out[:-2])
         nn, nd = out[-2], out[-1]
         ok = (
@@ -368,23 +411,29 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             & (dot(normal, nn) >= 0.9)
             & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
         )
+        if in_halo is not None:
+            ok = ok & in_halo
         return nr, nd, ok
 
-    def shared_neighbor(dx, dy, reservoir):
-        """Shift-based neighbor fetch: (reservoir', gdepth', ok_geom)."""
+    def shared_neighbor(dx, dy, reservoir_x, gnormal_s, gdepth_s):
+        """Shift-based neighbor fetch: (reservoir', gdepth', ok_geom).
+        Under a grid the inputs are halo-extended and the shift is a
+        dynamic row slice + lane roll of the local window."""
         nx = px + dx
         ny = py + dy
         inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
-        nn = _shift_flat(gnormal, dx, dy, h, w)
-        nd = _shift_flat(gdepth, dx, dy, h, w)
+        if grid is not None:
+            shift = lambda f: shift_flat_ext(f, dx, dy, hs, grid)
+        else:
+            shift = lambda f: _shift_flat(f, dx, dy, h, w)
+        nn = shift(gnormal_s)
+        nd = shift(gdepth_s)
         ok = (
             inb
             & (dot(normal, nn) >= 0.9)
             & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
         )
-        nr = jax.tree_util.tree_map(
-            lambda f: _shift_flat(f, dx, dy, h, w), reservoir
-        )
+        nr = jax.tree_util.tree_map(shift, reservoir_x)
         return nr, nd, ok, nx, ny
 
     # ---- DI spatial (ray_gen_final.slang:139-222) ----
@@ -411,7 +460,12 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         seed, spatial = carry
         if shared:
             dx, dy = di_taps[k]
-            nr, _, ok, _, _ = shared_neighbor(dx, dy, r_di)
+            nr, _, ok, _, _ = shared_neighbor(
+                dx, dy,
+                r_di_x if grid is not None else r_di,
+                gnormal_x if grid is not None else gnormal,
+                gdepth_x if grid is not None else gdepth,
+            )
         else:
             seed, ua, ur = rng_mod.rnd2(seed)
             angle = ua * 2.0 * PI
@@ -477,7 +531,12 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         seed, combined = carry
         if shared:
             dx, dy = gi_taps[k]
-            nr, n_depth, ok, nx, ny = shared_neighbor(dx, dy, r_gi)
+            nr, n_depth, ok, nx, ny = shared_neighbor(
+                dx, dy,
+                r_gi_x if grid is not None else r_gi,
+                gnormal_x if grid is not None else gnormal,
+                gdepth_x if grid is not None else gdepth,
+            )
         else:
             seed, ua, ur = rng_mod.rnd2(seed)
             angle = ua * 2.0 * PI

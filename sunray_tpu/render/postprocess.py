@@ -123,20 +123,69 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
     return out, ok.reshape(h, w)
 
 
+def _bilinear_sample_grid(history, prev_uv, grid):
+    """Bilinear history fetch from a halo_t-row ppermute-exchanged window
+    of the row-sharded history image (shard_map mode). Returns
+    (color (hl, W, C), valid (hl, W)); valid=False where a source corner
+    row falls outside the exchanged window."""
+    from sunray_tpu.parallel.halo import exchange_rows
+
+    ht = grid.halo_t
+    ext = exchange_rows(history, ht, ht, grid)      # (hl + 2*ht, W, C)
+    nrows = ext.shape[0]
+    row_base = grid.row0 - ht
+    w, hg = grid.w, grid.h
+    px = jnp.clip(prev_uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    py = jnp.clip(prev_uv[..., 1] * hg - 0.5, 0.0, hg - 1.0)
+    bx = jnp.floor(px).astype(jnp.int32)
+    by = jnp.floor(py).astype(jnp.int32)
+    fx = (px - bx)[..., None]
+    fy = (py - by)[..., None]
+    valid = (by >= row_base) & (
+        jnp.minimum(by + 1, hg - 1) <= row_base + nrows - 1
+    )
+
+    def at(ix, gy):
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(jnp.clip(gy, 0, hg - 1) - row_base, 0, nrows - 1)
+        return ext[iy, ix]
+
+    h00 = at(bx, by)
+    h10 = at(bx + 1, by)
+    h01 = at(bx, by + 1)
+    h11 = at(bx + 1, by + 1)
+    out = (h00 * (1 - fx) + h10 * fx) * (1 - fy)         + (h01 * (1 - fx) + h11 * fx) * fy
+    return out, valid
+
+
 def temporal_accumulate(raw, motion, history, frame_count,
                         accumulation_factor=ACCUMULATION_FACTOR,
                         history_band=0, history_halo=0,
                         history_layout="rows", history_mode="banded",
-                        history_radius=3):
+                        history_radius=3, grid=None):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
     raw, history: (H, W, 3); motion: (H, W, 2). Returns the new accumulation
     image (which is next frame's history).
+
+    grid (parallel/halo.ShardGrid): shard_map row-sharded mode — raw/
+    motion/history hold this shard's rows; the 3x3 clamp reads a 1-row
+    edge-replicated halo and the history fetch reads a halo_t-row
+    exchanged window (reprojection beyond it is rejected like off-screen
+    history, the multi-chip analog of the banded gather's halo).
     """
     h, w = raw.shape[:2]
     center_luma = _luminance(raw)
     luma_threshold = jnp.maximum(center_luma * 5.0, 0.08)
+
+    if grid is not None:
+        from sunray_tpu.parallel.halo import exchange_rows
+
+        raw_x = exchange_rows(raw, 1, 1, grid, edge="edge")
+        nb_at = lambda dy, dx: _shift2d(raw_x, dy, dx)[1:-1]
+    else:
+        nb_at = lambda dy, dx: _shift2d(raw, dy, dx)
 
     min_c = raw
     max_c = raw
@@ -144,20 +193,26 @@ def temporal_accumulate(raw, motion, history, frame_count,
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            nb = _shift2d(raw, dy, dx)
+            nb = nb_at(dy, dx)
             nb_luma = _luminance(nb)
             ok = (jnp.abs(nb_luma - center_luma) < luma_threshold)[..., None]
             min_c = jnp.where(ok, jnp.minimum(min_c, nb), min_c)
             max_c = jnp.where(ok, jnp.maximum(max_c, nb), max_c)
 
     xs = (jnp.arange(w) + 0.5) / w
-    ys = (jnp.arange(h) + 0.5) / h
+    if grid is not None:
+        gys = grid.row0.astype(jnp.float32) + jnp.arange(h, dtype=jnp.float32)
+        ys = (gys + 0.5) / grid.h
+    else:
+        ys = (jnp.arange(h) + 0.5) / h
     uu, vv = jnp.meshgrid(xs, ys)
     uv = jnp.stack([uu, vv], axis=-1)
     prev_uv = uv - motion
 
     off_screen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
-    if history_band > 0:
+    if grid is not None:
+        hist, valid = _bilinear_sample_grid(history, prev_uv, grid)
+    elif history_band > 0:
         hist, valid = bilinear_sample_banded(
             history, prev_uv, history_band, history_halo,
             layout=history_layout, mode=history_mode, radius=history_radius,
@@ -172,11 +227,16 @@ def temporal_accumulate(raw, motion, history, frame_count,
     return jnp.where(use_history[..., None], blended, raw)
 
 
-def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
+def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width,
+                        row0=None, h_global=None):
     """One edge-avoiding a-trous pass (denoise.slang:27-116).
 
     color: (H,W,3) input; depth: (H,W); normal: (H,W,3); roughness: (H,W);
     diffuse: (H,W,3) demodulation albedo. step_width static int.
+
+    row0/h_global: shard_map mode — the inputs are a halo-extended row
+    window whose row 0 sits at (traced) global row `row0`; the tap
+    in-bounds test then runs on global rows.
     """
     h, w = color.shape[:2]
     sky = depth >= 10000.0
@@ -191,7 +251,8 @@ def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
     sum_color = center_illum * kc
     sum_weight = jnp.full((h, w), kc)
 
-    ys = jnp.arange(h)
+    ys = jnp.arange(h) if row0 is None else jnp.arange(h) + row0
+    hb = h if h_global is None else h_global
     xs = jnp.arange(w)
 
     for dy in range(-2, 3):
@@ -202,7 +263,7 @@ def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width):
             ox = dx * step_width
             iy = ys + oy
             ix = xs + ox
-            in_b = ((iy >= 0) & (iy < h))[:, None] & ((ix >= 0) & (ix < w))[None, :]
+            in_b = ((iy >= 0) & (iy < hb))[:, None] & ((ix >= 0) & (ix < w))[None, :]
             s_color = _shift2d(color, oy, ox)
             s_depth = _shift2d(depth, oy, ox)
             s_normal = _shift2d(normal, oy, ox)
@@ -257,6 +318,37 @@ def atrous_denoise(color, depth, normal, roughness, diffuse, passes: int,
         color = atrous_denoise_pass(
             color, depth, normal, roughness, diffuse, 1 << i
         )
+    return color
+
+
+def atrous_denoise_grid(color, depth, normal, roughness, diffuse,
+                        passes: int, grid):
+    """N a-trous passes under shard_map row sharding: the guides are
+    halo-exchanged once to the maximum reach (2 * 2^(passes-1) rows) and
+    the color is re-exchanged before each pass to that pass's 2*step
+    reach, so every shard computes its interior rows exactly as the
+    single-device passes would."""
+    from sunray_tpu.parallel.halo import exchange_rows
+
+    if passes <= 0:
+        return color
+    gmax = 2 * (1 << (passes - 1))
+    dep_x = exchange_rows(depth, gmax, gmax, grid)
+    nor_x = exchange_rows(normal, gmax, gmax, grid)
+    rgh_x = exchange_rows(roughness, gmax, gmax, grid)
+    dif_x = exchange_rows(diffuse, gmax, gmax, grid)
+    hl = color.shape[0]
+    for i in range(passes):
+        s = 1 << i
+        hp = 2 * s
+        tr = gmax - hp
+        end = gmax + hl + hp
+        col_x = exchange_rows(color, hp, hp, grid)
+        out = atrous_denoise_pass(
+            col_x, dep_x[tr:end], nor_x[tr:end], rgh_x[tr:end],
+            dif_x[tr:end], s, row0=grid.row0 - hp, h_global=grid.h,
+        )
+        color = out[hp:hp + hl]
     return color
 
 

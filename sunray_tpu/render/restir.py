@@ -224,7 +224,7 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
 
 
 def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
-                   mode="banded", radius=3):
+                   mode="banded", radius=3, grid=None, grid_halo=0):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -235,7 +235,13 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
     With band > 0 the gather additionally runs banded (ops/banded.py: each
     destination row band reads only a VMEM-sized window of source rows) and
     the last return value is the in-band validity mask; otherwise it is
-    None (meaning all-valid)."""
+    None (meaning all-valid).
+
+    grid (parallel/halo.ShardGrid): shard_map mode — fields hold this
+    shard's rows only, idx is GLOBAL; the packed matrix is halo-exchanged
+    by `grid_halo` rows (one ppermute pair for all C columns) and sources
+    outside the exchanged window come back invalid, the multi-chip analog
+    of the banded gather's out-of-band lanes."""
     cols = []
     spec = []  # (is_int, ncomp)
     for f in fields:
@@ -248,7 +254,12 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
             cols.append(g)
             spec.append((is_int, g.shape[1]))
     packed = jnp.concatenate(cols, axis=1)           # (P, C)
-    if band > 0 and width > 0 and mode == "shift":
+    if grid is not None:
+        from sunray_tpu.parallel.halo import exchange_flat, gather_flat_ext
+
+        ext = exchange_flat(packed, grid_halo, grid)
+        rows, in_band = gather_flat_ext(ext, idx, grid_halo, grid)
+    elif band > 0 and width > 0 and mode == "shift":
         rows, in_band = shift_row_gather(packed, idx, width, radius, radius)
     elif band > 0 and width > 0:
         rows, in_band = banded_row_gather(packed, idx, width, band, halo,
@@ -259,7 +270,8 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
     out = []
     o = 0
     for is_int, n in spec:
-        if layout == "out_t" and band > 0 and width > 0 and mode != "shift":
+        if (layout == "out_t" and band > 0 and width > 0 and mode != "shift"
+                and grid is None):
             # rows is (C, P): per-component slices are lane-major 1-D.
             g = rows[o] if n == 1 else rows[o : o + n].T
         else:
@@ -287,15 +299,17 @@ def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _gather_reservoir_banded(r, idx, width, cfg):
+def _gather_reservoir_banded(r, idx, width, cfg, grid=None):
     """History gather for temporal reuse: banded or shift-select per
     cfg.history_gather_mode when history_gather_band > 0 (TPU hot path),
-    plain otherwise. Returns (reservoir, validity-mask-or-None)."""
+    plain otherwise; halo-exchanged under a shard grid (parallel/halo.py).
+    Returns (reservoir, validity-mask-or-None)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
     out, in_band = _gather_packed(
         leaves, idx, width, cfg.history_gather_band, cfg.history_gather_halo,
         cfg.history_gather_layout, cfg.history_gather_mode,
         cfg.history_shift_radius,
+        grid=grid, grid_halo=(grid.halo_t if grid is not None else 0),
     )
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
@@ -303,7 +317,7 @@ def _gather_reservoir_banded(r, idx, width, cfg):
 def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
                       history: ReservoirDI, prev_uv, prev_valid, frame_count,
                       hit_pos, hit_normal, v_view, albedo, roughness, metallic,
-                      virtual_distance, width, height, enable):
+                      virtual_distance, width, height, enable, grid=None):
     """DI temporal reuse with jittered reprojection + normal/depth confidence
     (ray_gen_ris.slang:233-267)."""
     seed, j1, j2 = rng_mod.rnd2(seed)
@@ -315,7 +329,7 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
 
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg)
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid)
     if in_band is not None:
         ok = ok & in_band
     h = h.replace(
@@ -353,7 +367,7 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
 def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
                       prev_uv, prev_valid, frame_count,
                       hit_pos, hit_normal, albedo, metallic,
-                      virtual_distance, width, height, enable):
+                      virtual_distance, width, height, enable, grid=None):
     """GI temporal reuse (ray_gen_ris.slang:408-432)."""
     seed, j1, j2 = rng_mod.rnd2(seed)
     px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
@@ -361,7 +375,7 @@ def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
     in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg)
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid)
     if in_band is not None:
         ok = ok & in_band
 
