@@ -90,7 +90,11 @@ class RenderConfig:
     # on v5e) and beats the current vmapped BVH stack walk (gather-bound,
     # ~14 us/ray) up to a few thousand triangles; stream/wavefront BVH
     # traversal is the planned crossover fix for big scenes.
-    tracer: str = "auto"               # "auto" | "brute" | "bvh"
+    # "bvh2" is the two-level backend (ops/bvh2.py): per-mesh object-space
+    # BLASes shared across instances + a per-frame instance TLAS — opt-in
+    # for many-instance scenes; needs the Renderer (or caller) to pass the
+    # load-time BlasSet as `accel`.
+    tracer: str = "auto"               # "auto" | "brute" | "bvh" | "bvh2"
     brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4
     # Rays per trace block (lax.map step). Too small serializes the frame

@@ -88,62 +88,16 @@ def _clz32(x):
     return 32 - jax.lax.population_count(x).astype(jnp.int32)
 
 
-def build_bvh(tris, leaf_size: int = 4) -> Bvh:
-    """Build an LBVH over world triangles. tris: (v0, v1, v2) each (T, 3)."""
-    v0, v1, v2 = tris
-    # Topology must not carry gradients (discrete structure).
-    v0s = jax.lax.stop_gradient(v0)
-    v1s = jax.lax.stop_gradient(v1)
-    v2s = jax.lax.stop_gradient(v2)
-    t = v0.shape[0]
-    k = leaf_size
+def karras_topology(leaf_codes):
+    """Karras 2012 linear-BVH topology over n >= 2 sorted leaf codes.
 
-    centroid = (v0s + v1s + v2s) / 3.0
-    smin = jnp.min(jnp.minimum(jnp.minimum(v0s, v1s), v2s), axis=0)
-    smax = jnp.max(jnp.maximum(jnp.maximum(v0s, v1s), v2s), axis=0)
-    extent = jnp.maximum(smax - smin, 1e-6)
-    q = jnp.clip(((centroid - smin) / extent) * 1023.0, 0.0, 1023.0)
-    q = q.astype(jnp.uint32)
-    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
-
-    order = jnp.argsort(codes).astype(jnp.int32)
-    sorted_codes = codes[order]
-
-    # Group K consecutive sorted triangles per leaf.
-    nl = -(-t // k)
-    pad = nl * k - t
-    tri_ids = jnp.pad(order, (0, pad), constant_values=-1).reshape(nl, k)
-    pad_codes = jnp.pad(sorted_codes, (0, pad), mode="edge")
-    leaf_codes = pad_codes.reshape(nl, k)[:, 0]
-
-    # Leaf AABBs (over valid triangles only).
-    def tri_box(ids):
-        valid = (ids >= 0)[:, :, None]
-        gids = jnp.maximum(ids, 0)
-        a = v0s[gids]
-        b = v1s[gids]
-        c = v2s[gids]
-        tmin = jnp.minimum(jnp.minimum(a, b), c)
-        tmax = jnp.maximum(jnp.maximum(a, b), c)
-        tmin = jnp.where(valid, tmin, jnp.inf)
-        tmax = jnp.where(valid, tmax, -jnp.inf)
-        return jnp.min(tmin, axis=1), jnp.max(tmax, axis=1)
-
-    leaf_min, leaf_max = tri_box(tri_ids)     # (NL, 3)
-
-    if nl == 1:
-        return Bvh(
-            child_l=jnp.zeros((0,), jnp.int32),
-            child_r=jnp.zeros((0,), jnp.int32),
-            node_min=leaf_min,
-            node_max=leaf_max,
-            leaf_tri=tri_ids,
-            range_first=jnp.zeros((0,), jnp.int32),
-            range_last=jnp.zeros((0,), jnp.int32),
-            num_leaves=1,
-        )
-
-    n = nl
+    Returns (child_l, child_r, first, last), each (n-1,): child ids in
+    [0, n-2] are internal, leaf k is id n-1+k; [first, last] is the
+    contiguous sorted-leaf range each internal node covers. Fully
+    parallel — fixed-trip binary searches, no sequential propagation.
+    Shared by the triangle LBVH below and the instance TLAS (ops/bvh2.py).
+    """
+    n = leaf_codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
     def delta(i, j):
@@ -206,7 +160,70 @@ def build_bvh(tris, leaf_size: int = 4) -> Bvh:
     right_is_leaf = last == gamma + 1
     child_l = jnp.where(left_is_leaf, leaf_base + gamma, gamma)
     child_r = jnp.where(right_is_leaf, leaf_base + gamma + 1, gamma + 1)
+    return (
+        child_l.astype(jnp.int32),
+        child_r.astype(jnp.int32),
+        first.astype(jnp.int32),
+        last.astype(jnp.int32),
+    )
 
+
+def build_bvh(tris, leaf_size: int = 4) -> Bvh:
+    """Build an LBVH over world triangles. tris: (v0, v1, v2) each (T, 3)."""
+    v0, v1, v2 = tris
+    # Topology must not carry gradients (discrete structure).
+    v0s = jax.lax.stop_gradient(v0)
+    v1s = jax.lax.stop_gradient(v1)
+    v2s = jax.lax.stop_gradient(v2)
+    t = v0.shape[0]
+    k = leaf_size
+
+    centroid = (v0s + v1s + v2s) / 3.0
+    smin = jnp.min(jnp.minimum(jnp.minimum(v0s, v1s), v2s), axis=0)
+    smax = jnp.max(jnp.maximum(jnp.maximum(v0s, v1s), v2s), axis=0)
+    extent = jnp.maximum(smax - smin, 1e-6)
+    q = jnp.clip(((centroid - smin) / extent) * 1023.0, 0.0, 1023.0)
+    q = q.astype(jnp.uint32)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+
+    order = jnp.argsort(codes).astype(jnp.int32)
+    sorted_codes = codes[order]
+
+    # Group K consecutive sorted triangles per leaf.
+    nl = -(-t // k)
+    pad = nl * k - t
+    tri_ids = jnp.pad(order, (0, pad), constant_values=-1).reshape(nl, k)
+    pad_codes = jnp.pad(sorted_codes, (0, pad), mode="edge")
+    leaf_codes = pad_codes.reshape(nl, k)[:, 0]
+
+    # Leaf AABBs (over valid triangles only).
+    def tri_box(ids):
+        valid = (ids >= 0)[:, :, None]
+        gids = jnp.maximum(ids, 0)
+        a = v0s[gids]
+        b = v1s[gids]
+        c = v2s[gids]
+        tmin = jnp.minimum(jnp.minimum(a, b), c)
+        tmax = jnp.maximum(jnp.maximum(a, b), c)
+        tmin = jnp.where(valid, tmin, jnp.inf)
+        tmax = jnp.where(valid, tmax, -jnp.inf)
+        return jnp.min(tmin, axis=1), jnp.max(tmax, axis=1)
+
+    leaf_min, leaf_max = tri_box(tri_ids)     # (NL, 3)
+
+    if nl == 1:
+        return Bvh(
+            child_l=jnp.zeros((0,), jnp.int32),
+            child_r=jnp.zeros((0,), jnp.int32),
+            node_min=leaf_min,
+            node_max=leaf_max,
+            leaf_tri=tri_ids,
+            range_first=jnp.zeros((0,), jnp.int32),
+            range_last=jnp.zeros((0,), jnp.int32),
+            num_leaves=1,
+        )
+
+    child_l, child_r, first, last = karras_topology(leaf_codes)
     node_min, node_max = _range_boxes(leaf_min, leaf_max, first, last)
 
     return Bvh(

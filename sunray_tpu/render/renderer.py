@@ -50,6 +50,26 @@ class Renderer:
         if self.scene is None:
             return None
         cfg = self.config
+        if cfg.tracer == "bvh2":
+            # Two-level: object-space BLAS set is a function of the mesh
+            # TOPOLOGY only — cache survives instance-transform changes
+            # (set_instances rebuilds SceneBuffers but not the meshes), the
+            # whole point of the BLAS/TLAS split (blas.rs static builds,
+            # tlas.rs per-frame builds).
+            from sunray_tpu.ops.bvh2 import build_blas_set
+
+            gen = self._manager._generation if self._manager is not None \
+                else id(self.scene)
+            # A mesh's BLAS is extracted from its first instance's slice of
+            # the scene, so gaining a first instance must invalidate too.
+            prims = tuple(np.unique(np.asarray(self.scene.inst_prim)))
+            key = (gen, prims)
+            if self._accel_for != ("bvh2", key):
+                self._accel = build_blas_set(
+                    self.scene, leaf_size=cfg.bvh_leaf_size
+                )
+                self._accel_for = ("bvh2", key)
+            return self._accel
         use_bvh = cfg.tracer == "bvh" or (
             cfg.tracer == "auto"
             and self.scene.num_tris > cfg.brute_force_max_tris
@@ -57,7 +77,6 @@ class Renderer:
         if not use_bvh:
             return None
         if self._accel_for is not self.scene:
-            import numpy as np
             from sunray_tpu.native import build_sah_bvh
 
             tris = self.scene.world_triangle_vertices()

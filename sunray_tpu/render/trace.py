@@ -31,6 +31,9 @@ class TracerCtx(NamedTuple):
     tris: tuple                      # (v0, v1, v2) world-space, each (T, 3)
     bvh: Optional[object]            # ops.bvh.Bvh or None for brute force
     block: int                       # ray block size
+    # Two-level backend (ops/bvh2.py): per-frame Tlas2 built from a
+    # load-time BlasSet passed as `accel`. Mutually exclusive with `bvh`.
+    bvh2: Optional[object] = None
     # Alpha-cutout support (any_hit.slang:11-43): None when the scene has no
     # MASK materials (the common case — reference marks geometry OPAQUE,
     # blas.rs:276 — so the fast path stays tight), else the scene pytree for
@@ -55,6 +58,19 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
     n_tris = scene.num_tris
     alpha_scene = scene if getattr(cfg, "alpha_mask_tracing", False) else None
     if accel is not None:
+        from sunray_tpu.ops import bvh2 as bvh2_mod
+
+        if isinstance(accel, bvh2_mod.BlasSet):
+            # Two-level path: object-space BLASes are static; only the tiny
+            # instance TLAS is (re)built here, every frame (the
+            # tlas.rs:155-191 per-frame queue_build analog).
+            return TracerCtx(
+                tris=tris,
+                bvh=None,
+                block=cfg.trace_block_rays,
+                bvh2=bvh2_mod.build_frame_tlas(accel, scene),
+                alpha_scene=alpha_scene,
+            )
         return TracerCtx(
             tris=tris,
             bvh=bvh_mod.refit_bvh(accel, tris),
@@ -111,6 +127,13 @@ def _alpha_accepts(scene, tri, u, v):
 
 
 def _raw_closest(ctx, orig, d, tmin, tmax):
+    if ctx.bvh2 is not None:
+        from sunray_tpu.ops import bvh2 as bvh2_mod
+
+        return bvh2_mod.trace_closest_bvh2(
+            ctx.bvh2, orig, d, tmin, tmax,
+            block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
+        )
     if ctx.bvh is not None:
         return bvh_mod.trace_closest_bvh(
             ctx.bvh, ctx.tris, orig, d, tmin, tmax,
@@ -213,7 +236,14 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
         )
         _, occ, _, _ = jax.lax.while_loop(cond, body, init)
         return occ & ~degenerate
-    if ctx.bvh is not None:
+    if ctx.bvh2 is not None:
+        from sunray_tpu.ops import bvh2 as bvh2_mod
+
+        occ = bvh2_mod.trace_occluded_bvh2(
+            ctx.bvh2, orig, d, tmax - 1e-3, tmin, exclude,
+            block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
+        )
+    elif ctx.bvh is not None:
         occ = bvh_mod.trace_occluded_bvh(
             ctx.bvh, ctx.tris, orig, d, tmax - 1e-3, tmin, exclude,
             block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
