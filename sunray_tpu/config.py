@@ -73,6 +73,12 @@ class RenderConfig:
     # "auto": Pallas banded a-trous kernel on TPU (ops/pallas_image.py),
     # jnp pad+slice elsewhere; "pallas"/"jnp" force a path.
     denoise_kernel: str = "auto"
+    # Same policy for the TAA 3x3 clamp+blend (ops/pallas_image.py) — but
+    # defaulted to "jnp" for now: the 1080p ReSTIR frame currently runs
+    # within ~100 MB of the 16 GB chip and the kernel's padded planes tip
+    # it over (examples/mem_audit.py); flip to "auto" once the tile-padding
+    # waste in the walk loop is fixed.
+    taa_kernel: str = "jnp"
     exposure: float = 1.0
     tonemap: str = "aces"              # "aces" | "aces_srgb" | "none"
     gamma: float = 2.2
@@ -85,15 +91,17 @@ class RenderConfig:
     # history before the output is meaningful.
     warmup_frames: int = 16
 
-    # Tracing backend: "auto" picks bvh above this triangle count. The
-    # Pallas brute kernel scales linearly (~40 ms per 1M rays per 1k tris
-    # on v5e) and beats the current vmapped BVH stack walk (gather-bound,
-    # ~14 us/ray) up to a few thousand triangles; stream/wavefront BVH
-    # traversal is the planned crossover fix for big scenes.
-    # "bvh2" is the two-level backend (ops/bvh2.py): per-mesh object-space
-    # BLASes shared across instances + a per-frame instance TLAS — opt-in
-    # for many-instance scenes; needs the Renderer (or caller) to pass the
-    # load-time BlasSet as `accel`.
+    # Tracing backend. "auto": the Pallas brute kernel up to
+    # brute_force_max_tris (scales linearly, ~40 ms per 1M rays per 1k tris
+    # on v5e, and beats the vmapped BVH stack walk — gather-bound,
+    # ~14 us/ray — up to a few thousand triangles), then the two-level
+    # backend (ops/bvh2.py): per-mesh object-space BLASes built once and
+    # shared across instances + a per-frame in-jit instance TLAS. The
+    # two-level path needs the load-time BlasSet passed as `accel` — the
+    # Renderer manages that; `make_tracer` without an accel falls back to a
+    # unified in-jit LBVH. "bvh" forces the unified world BVH (one tree
+    # over all world triangles, host SAH + in-jit refit); "bvh2"/"brute"
+    # force those paths.
     tracer: str = "auto"               # "auto" | "brute" | "bvh" | "bvh2"
     brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4

@@ -227,3 +227,133 @@ def _atrous_bwd(passes, res, ct):
 
 
 atrous_denoise_tpu.defvjp(_atrous_fwd, _atrous_bwd)
+
+
+# ---------------------------------------------------------------------------
+# TAA clamp+blend (temporal_accumulation.slang:60-132)
+# ---------------------------------------------------------------------------
+#
+# The jnp formulation (render/postprocess.taa_clamp_blend) reads `raw` 8
+# times through pad+slice shifts to build the luminance-gated 3x3 min/max
+# box — ~20 ms/frame of pad_maximum fusions at 1080p (device profiler).
+# Here one banded pass holds a 1-pixel-halo raw window in VMEM, takes the
+# 8 taps as static shifted reads, and clamps+blends in place. Same stitched
+# four-view halo trick as the a-trous kernel above; the padded planes are
+# EDGE-padded so border taps replicate edge texels exactly like _shift2d.
+#
+# HBM footprint matters here: the 1080p ReSTIR frame runs within ~200 MB of
+# the 16 GB chip, and a first cut of this kernel (separate padded raw +
+# 4-channel hist/use array) pushed compile OOM by 96 MB. Two folds keep it
+# lean: (a) the use_history mask is folded into the history plane before
+# the kernel — where use is False, substituting raw for history makes
+# clamp+blend an exact identity (the center is always inside its own
+# min/max box, so clip(raw) == raw and the lerp returns raw); (b) raw and
+# folded history share one 6-plane array passed four ways (same buffer).
+
+
+def _taa_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, *, block, cw, factor):
+    wins = [
+        jnp.concatenate(
+            [
+                jnp.concatenate([a_ref[ch], c_ref[ch]], axis=1),
+                jnp.concatenate([b_ref[ch], d_ref[ch]], axis=1),
+            ],
+            axis=0,
+        )
+        for ch in range(6)
+    ]
+
+    def tap(dy, dx, chans=range(3)):
+        return [wins[ch][1 + dy : 1 + dy + block, 1 + dx : 1 + dx + cw]
+                for ch in chans]
+
+    ctr = tap(0, 0)
+    c_luma = _luma(ctr)
+    thr = jnp.maximum(c_luma * 5.0, 0.08)
+    mn = list(ctr)
+    mx = list(ctr)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = tap(dy, dx)
+            ok = jnp.abs(_luma(nb) - c_luma) < thr
+            for k in range(3):
+                mn[k] = jnp.where(ok, jnp.minimum(mn[k], nb[k]), mn[k])
+                mx[k] = jnp.where(ok, jnp.maximum(mx[k], nb[k]), mx[k])
+
+    hist = tap(0, 0, chans=range(3, 6))
+    for k in range(3):
+        cl = jnp.clip(hist[k], mn[k], mx[k])
+        out_ref[k] = cl + (ctr[k] - cl) * factor
+
+
+def _taa_forward(raw, hist, use_f32, factor):
+    h, w = raw.shape[:2]
+    hr = 8                              # 1-px halo, sublane-tile-rounded
+    wr = LANE
+    block = 32
+    cw = min(1024, -(-w // LANE) * LANE)
+    grid_r = -(-h // block)
+    grid_c = -(-w // cw)
+    rows = grid_r * block + hr
+    cols = grid_c * cw + wr
+    hist_folded = jnp.where(use_f32[..., None] > 0.5, hist, raw)
+    planes = jnp.pad(
+        jnp.concatenate(
+            [raw.transpose(2, 0, 1), hist_folded.transpose(2, 0, 1)], axis=0
+        ),
+        ((0, 0), (1, rows - h - 1), (1, cols - w - 1)),
+        mode="edge",
+    )
+    mb = block // hr
+    mc = cw // wr
+    out = pl.pallas_call(
+        functools.partial(_taa_kernel, block=block, cw=cw, factor=factor),
+        grid=(grid_r, grid_c),
+        in_specs=[
+            pl.BlockSpec((6, block, cw), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, hr, cw), lambda i, j: (0, (i + 1) * mb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, block, wr), lambda i, j: (0, i, (j + 1) * mc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, hr, wr),
+                         lambda i, j: (0, (i + 1) * mb, (j + 1) * mc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, block, cw), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, grid_r * block, grid_c * cw),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(planes, planes, planes, planes)
+    return out[:, :h, :w].transpose(1, 2, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def taa_clamp_blend_tpu(raw, hist, use_f32, factor):
+    """Banded Pallas TAA clamp+blend; jnp-reference backward."""
+    return _taa_forward(raw, hist, use_f32, factor)
+
+
+def _taa_fwd(raw, hist, use_f32, factor):
+    return _taa_forward(raw, hist, use_f32, factor), (raw, hist, use_f32)
+
+
+def _taa_bwd(factor, res, ct):
+    from sunray_tpu.render.postprocess import taa_clamp_blend
+
+    raw, hist, use_f32 = res
+    _, vjp = jax.vjp(
+        lambda r, hst: taa_clamp_blend(r, hst, use_f32 > 0.5, factor),
+        raw, hist,
+    )
+    dr, dh = vjp(ct)
+    return dr, dh, jnp.zeros_like(use_f32)
+
+
+taa_clamp_blend_tpu.defvjp(_taa_fwd, _taa_bwd)

@@ -87,6 +87,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             history_layout=cfg.history_gather_layout,
             history_mode=cfg.history_gather_mode,
             history_radius=cfg.history_shift_radius,
+            kernel=cfg.taa_kernel,
         )
     else:
         accum = raw_img

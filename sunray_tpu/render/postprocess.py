@@ -158,35 +158,21 @@ def _bilinear_sample_grid(history, prev_uv, grid):
     return out, valid
 
 
-def temporal_accumulate(raw, motion, history, frame_count,
-                        accumulation_factor=ACCUMULATION_FACTOR,
-                        history_band=0, history_halo=0,
-                        history_layout="rows", history_mode="banded",
-                        history_radius=3, grid=None):
-    """TAA with 3x3 luminance-gated neighborhood clamp
-    (temporal_accumulation.slang:60-132).
+def taa_clamp_blend(raw, hist, use_history, accumulation_factor, nb_at=None):
+    """The clamp+blend half of TAA (temporal_accumulation.slang:60-132):
+    3x3 luminance-gated neighborhood min/max of `raw`, history clamped into
+    that box, lerped by `accumulation_factor`, falling back to `raw` where
+    `use_history` is False. jnp reference path — the Pallas banded kernel
+    (ops/pallas_image.taa_clamp_blend_tpu) computes the same thing in one
+    pass and uses this function as its VJP.
 
-    raw, history: (H, W, 3); motion: (H, W, 2). Returns the new accumulation
-    image (which is next frame's history).
-
-    grid (parallel/halo.ShardGrid): shard_map row-sharded mode — raw/
-    motion/history hold this shard's rows; the 3x3 clamp reads a 1-row
-    edge-replicated halo and the history fetch reads a halo_t-row
-    exchanged window (reprojection beyond it is rejected like off-screen
-    history, the multi-chip analog of the banded gather's halo).
+    nb_at: optional (dy, dx) -> shifted raw image override (shard_map halo
+    mode); defaults to edge-padded whole-image shifts.
     """
-    h, w = raw.shape[:2]
+    if nb_at is None:
+        nb_at = lambda dy, dx: _shift2d(raw, dy, dx)
     center_luma = _luminance(raw)
     luma_threshold = jnp.maximum(center_luma * 5.0, 0.08)
-
-    if grid is not None:
-        from sunray_tpu.parallel.halo import exchange_rows
-
-        raw_x = exchange_rows(raw, 1, 1, grid, edge="edge")
-        nb_at = lambda dy, dx: _shift2d(raw_x, dy, dx)[1:-1]
-    else:
-        nb_at = lambda dy, dx: _shift2d(raw, dy, dx)
-
     min_c = raw
     max_c = raw
     for dy in (-1, 0, 1):
@@ -198,6 +184,32 @@ def temporal_accumulate(raw, motion, history, frame_count,
             ok = (jnp.abs(nb_luma - center_luma) < luma_threshold)[..., None]
             min_c = jnp.where(ok, jnp.minimum(min_c, nb), min_c)
             max_c = jnp.where(ok, jnp.maximum(max_c, nb), max_c)
+    clamped = jnp.clip(hist, min_c, max_c)
+    blended = clamped + (raw - clamped) * accumulation_factor
+    return jnp.where(use_history[..., None], blended, raw)
+
+
+def temporal_accumulate(raw, motion, history, frame_count,
+                        accumulation_factor=ACCUMULATION_FACTOR,
+                        history_band=0, history_halo=0,
+                        history_layout="rows", history_mode="banded",
+                        history_radius=3, grid=None, kernel="jnp"):
+    """TAA with 3x3 luminance-gated neighborhood clamp
+    (temporal_accumulation.slang:60-132).
+
+    raw, history: (H, W, 3); motion: (H, W, 2). Returns the new accumulation
+    image (which is next frame's history).
+
+    kernel: "auto" runs the Pallas banded clamp+blend on TPU and the jnp
+    shifted-reads formulation elsewhere; "pallas"/"jnp" force a path.
+
+    grid (parallel/halo.ShardGrid): shard_map row-sharded mode — raw/
+    motion/history hold this shard's rows; the 3x3 clamp reads a 1-row
+    edge-replicated halo and the history fetch reads a halo_t-row
+    exchanged window (reprojection beyond it is rejected like off-screen
+    history, the multi-chip analog of the banded gather's halo).
+    """
+    h, w = raw.shape[:2]
 
     xs = (jnp.arange(w) + 0.5) / w
     if grid is not None:
@@ -220,11 +232,28 @@ def temporal_accumulate(raw, motion, history, frame_count,
     else:
         hist = bilinear_sample(history, prev_uv)
         valid = True
-    clamped = jnp.clip(hist, min_c, max_c)
-    blended = clamped + (raw - clamped) * accumulation_factor
 
     use_history = (~off_screen) & valid & (frame_count > 2)
-    return jnp.where(use_history[..., None], blended, raw)
+    use_history = jnp.broadcast_to(use_history, (h, w))
+
+    if grid is not None:
+        from sunray_tpu.parallel.halo import exchange_rows
+
+        raw_x = exchange_rows(raw, 1, 1, grid, edge="edge")
+        nb_at = lambda dy, dx: _shift2d(raw_x, dy, dx)[1:-1]
+        return taa_clamp_blend(raw, hist, use_history, accumulation_factor,
+                               nb_at=nb_at)
+
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from sunray_tpu.ops.pallas_image import taa_clamp_blend_tpu
+
+        return taa_clamp_blend_tpu(
+            raw, hist, use_history.astype(jnp.float32), accumulation_factor
+        )
+    return taa_clamp_blend(raw, hist, use_history, accumulation_factor)
 
 
 def atrous_denoise_pass(color, depth, normal, roughness, diffuse, step_width,

@@ -50,7 +50,19 @@ class Renderer:
         if self.scene is None:
             return None
         cfg = self.config
-        if cfg.tracer == "bvh2":
+        # "auto" above the brute-kernel crossover picks the two-level path:
+        # object-space BLASes are built once per mesh topology and shared by
+        # every instance, and only the tiny instance TLAS rebuilds per frame
+        # — strictly cheaper than the unified world BVH, whose host SAH
+        # build reruns on every set_instances() (measured 190x on a
+        # 64-instance scene, examples/bench_instances.py). The unified path
+        # stays reachable as the forced tracer="bvh".
+        brute_max = cfg.brute_force_max_tris
+        if jax.default_backend() != "tpu":
+            brute_max = min(brute_max, 512)
+        if cfg.tracer == "bvh2" or (
+            cfg.tracer == "auto" and self.scene.num_tris > brute_max
+        ):
             # Two-level: object-space BLAS set is a function of the mesh
             # TOPOLOGY only — cache survives instance-transform changes
             # (set_instances rebuilds SceneBuffers but not the meshes), the

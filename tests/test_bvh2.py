@@ -238,3 +238,48 @@ class TestFrame:
         # Only the per-frame TLAS rebuilt; the object-space BLAS set is
         # reused untouched (the whole point of the two-level split).
         assert r._accel is accel1
+
+
+class TestAutoPicksTwoLevel:
+    def test_auto_uses_blas_set_above_brute_threshold(self):
+        """tracer="auto" through the Renderer resolves to the two-level
+        backend once the scene exceeds the brute-kernel crossover (and to
+        the brute path below it)."""
+        mgr, scene, instances = multi_instance_scene()
+        cfg = RenderConfig(
+            tracer="auto", brute_force_max_tris=16, **TestFrame.CFG
+        )
+        r = Renderer(cfg)
+        r.load_scene(scene)
+        r._manager = mgr
+        accel = r._scene_accel()
+        assert isinstance(accel, bvh2_mod.BlasSet)
+
+        small = Renderer(
+            RenderConfig(tracer="auto", brute_force_max_tris=1 << 20,
+                         **TestFrame.CFG)
+        )
+        small.load_scene(scene)
+        small._manager = mgr
+        assert small._scene_accel() is None
+
+    def test_auto_render_matches_brute(self):
+        mgr, scene, instances = multi_instance_scene()
+        cam = TestFrame.CAM
+
+        r_brute = Renderer(RenderConfig(tracer="brute", **TestFrame.CFG))
+        r_brute.load_scene(scene)
+        r_brute._manager = mgr
+        a = np.asarray(r_brute.render(cam))
+
+        r_auto = Renderer(
+            RenderConfig(tracer="auto", brute_force_max_tris=16,
+                         **TestFrame.CFG)
+        )
+        r_auto.load_scene(scene)
+        r_auto._manager = mgr
+        b = np.asarray(r_auto.render(cam))
+
+        assert np.isfinite(b).all()
+        match = np.isclose(a, b, rtol=1e-4, atol=1e-4).all(axis=-1)
+        assert match.mean() > 0.99

@@ -73,3 +73,68 @@ def test_gradients_route_through_jnp_reference():
         # small absolute noise on near-zero entries is expected.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# TAA clamp+blend kernel
+# ---------------------------------------------------------------------------
+
+
+def _taa_inputs(h, w, seed=11):
+    k = jax.random.split(jax.random.PRNGKey(seed), 3)
+    raw = jax.random.uniform(k[0], (h, w, 3), maxval=4.0)
+    hist = jax.random.uniform(k[1], (h, w, 3), maxval=4.0)
+    use = jax.random.bernoulli(k[2], 0.8, (h, w))
+    return raw, hist, use
+
+
+@pytest.mark.parametrize("h,w", [(48, 64), (37, 53), (33, 130)])
+def test_taa_matches_jnp_reference(h, w):
+    from sunray_tpu.ops.pallas_image import taa_clamp_blend_tpu
+    from sunray_tpu.render.postprocess import taa_clamp_blend
+
+    raw, hist, use = _taa_inputs(h, w)
+    ref = taa_clamp_blend(raw, hist, use, 0.14)
+    out = taa_clamp_blend_tpu(raw, hist, use.astype(jnp.float32), 0.14)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-7)
+
+
+def test_taa_dispatch_in_temporal_accumulate():
+    """kernel="pallas" through temporal_accumulate (interpret mode off-TPU)
+    matches kernel="jnp" including the banded history fetch."""
+    from sunray_tpu.render.postprocess import temporal_accumulate
+
+    h, w = 40, 48
+    k = jax.random.split(jax.random.PRNGKey(2), 3)
+    raw = jax.random.uniform(k[0], (h, w, 3), maxval=2.0)
+    hist = jax.random.uniform(k[1], (h, w, 3), maxval=2.0)
+    motion = (jax.random.uniform(k[2], (h, w, 2)) - 0.5) * 0.05
+    ref = temporal_accumulate(raw, motion, hist, 5, 0.14,
+                              history_band=8, history_halo=8, kernel="jnp")
+    out = temporal_accumulate(raw, motion, hist, 5, 0.14,
+                              history_band=8, history_halo=8, kernel="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-7)
+
+
+def test_taa_gradients_route_through_jnp_reference():
+    from sunray_tpu.ops.pallas_image import taa_clamp_blend_tpu
+    from sunray_tpu.render.postprocess import taa_clamp_blend
+
+    raw, hist, use = _taa_inputs(32, 40, seed=13)
+
+    g_p = jax.grad(
+        lambda r, hs: jnp.sum(
+            taa_clamp_blend_tpu(r, hs, use.astype(jnp.float32), 0.14) ** 2
+        ),
+        argnums=(0, 1),
+    )(raw, hist)
+    g_j = jax.grad(
+        lambda r, hs: jnp.sum(taa_clamp_blend(r, hs, use, 0.14) ** 2),
+        argnums=(0, 1),
+    )(raw, hist)
+    for a, b in zip(g_p, g_j):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
