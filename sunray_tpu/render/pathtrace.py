@@ -562,12 +562,27 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             axis=-1,
         )
         nd = nuv * 2.0 - 1.0
-        clip = jnp.concatenate(
-            [nd, jnp.ones((p, 1)), jnp.ones((p, 1))], axis=-1
+        # Column contractions with the small matrices: a broadcasted
+        # (P, 4, 4) product here tile-pads 4->8 x 4->128 (32x HBM) inside
+        # the spatial-reuse loop — see render/shade.py for the measured
+        # blow-up from the same pattern.
+        one = jnp.ones((p,))
+        clip_cols = [nd[:, 0], nd[:, 1], one, one]
+        tgt = jnp.stack(
+            [
+                sum(proj_inverse[i, j] * clip_cols[j] for j in range(4))
+                for i in range(3)
+            ],
+            axis=-1,
         )
-        tgt = jnp.sum(proj_inverse[None, :, :] * clip[:, None, :], axis=-1)[:, :3]
         tgt = tgt / vec_norm(tgt)[:, None]
-        ndir = jnp.sum(view_inverse[None, :3, :3] * tgt[:, None, :], axis=-1)
+        ndir = jnp.stack(
+            [
+                sum(view_inverse[i, j] * tgt[:, j] for j in range(3))
+                for i in range(3)
+            ],
+            axis=-1,
+        )
         neighbor_x1 = cam_origin + ndir * n_depth[:, None]
 
         w_new = nr.sample_pos - pos

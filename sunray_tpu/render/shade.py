@@ -52,12 +52,12 @@ def instance_inverse_rotations(inst_transform):
     return jnp.linalg.inv(inst_transform[:, :, :3])
 
 
-def _recompute_hit(orig, d, wpos):
-    """Moller-Trumbore (t, u, v) for known winning world triangles
-    (N, 3verts, 3). Grad-safe determinant handling."""
-    v0 = wpos[:, 0]
-    e1 = wpos[:, 1] - v0
-    e2 = wpos[:, 2] - v0
+def _recompute_hit(orig, d, w0, w1, w2):
+    """Moller-Trumbore (t, u, v) for known winning world triangles, one
+    (N, 3) array per corner. Grad-safe determinant handling."""
+    v0 = w0
+    e1 = w1 - v0
+    e2 = w2 - v0
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     det_ok = jnp.abs(det) > 1e-9
@@ -108,31 +108,42 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # rule), so gradients flow through the intersection equations here
     # instead — w.r.t. vertices, transforms, ray origin and direction
     # (SURVEY.md section 7 M3 custom-VJP plan).
-    vpos = jnp.stack([r[:, 0:3] for r in rows], axis=1)          # (N, 3, 3)
-    xf = gather_vec(scene.inst_transform, inst)                  # (N, 3, 4)
-    wpos = (
-        jnp.sum(xf[:, None, :, :3] * vpos[:, :, None, :], axis=-1)
-        + xf[:, None, :, 3]
-    )                                                            # (N, 3v, 3)
-    t_d, u_d, v_d = _recompute_hit(orig, d, wpos)
+    # Everything below stays strictly 2-D (N, C): any (N, 3, 3)-shaped
+    # intermediate tile-pads 3->8 sublanes x 3->128 lanes on TPU — a
+    # measured 42.7x HBM blow-up (2.97 GB for ONE (2M, 3, 3) temp in the
+    # walk loop; the 1080p frame OOM'd the 16 GB chip from these). The
+    # 3-corner / 3-component contractions are unrolled into column
+    # slices + weighted sums instead.
+    xf = gather_vec(scene.inst_transform.reshape(-1, 12), inst)  # (N, 12)
+
+    def to_world(p):
+        # Rows of the (3, 4) object->world transform live at xf[:, 4i:4i+4].
+        return jnp.stack(
+            [
+                xf[:, 4 * i + 0] * p[:, 0]
+                + xf[:, 4 * i + 1] * p[:, 1]
+                + xf[:, 4 * i + 2] * p[:, 2]
+                + xf[:, 4 * i + 3]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+
+    w0, w1, w2 = (to_world(r[:, 0:3]) for r in rows)
+    t_d, u_d, v_d = _recompute_hit(orig, d, w0, w1, w2)
     t_att = jnp.where(hit.hit, t_d, hit.t)
     u = jnp.where(hit.hit, u_d, hit.u)
     v = jnp.where(hit.hit, v_d, hit.v)
-    bary = jnp.stack([1.0 - u - v, u, v], axis=-1)   # (N, 3)
+    b = [(1.0 - u - v)[:, None], u[:, None], v[:, None]]
 
     # Vertex attribute decode + barycentric interpolation
     # (closest_hit.slang:31-37, rt_utils.slang:136-147).
-    vn = jnp.stack([r[:, 3:6] for r in rows], axis=1)            # (N, 3, 3)
-    vt = jnp.stack([r[:, 6:10] for r in rows], axis=1)           # (N, 3, 4)
-    vuv = jnp.stack(
-        [r[:, 10:20].reshape(-1, 5, 2) for r in rows], axis=1
-    )                                                            # (N, 3, 5, 2)
-    n_obj = jnp.sum(bary[:, :, None] * vn, axis=1)
-    tangent_obj = jnp.sum(bary[:, :, None] * vt[..., :3], axis=1)
-    handedness = jnp.where(vt[:, 0, 3] >= 0.0, 1.0, -1.0)  # vertex 0 only
-    uv_all = jnp.sum(bary[:, :, None, None] * vuv, axis=1)  # (N, 5, 2)
-    uv = uv_all[:, TEX_BASE_COLOR]
-    normal_uv = uv_all[:, TEX_NORMAL]
+    n_obj = sum(bk * r[:, 3:6] for bk, r in zip(b, rows))        # (N, 3)
+    tangent_obj = sum(bk * r[:, 6:9] for bk, r in zip(b, rows))  # (N, 3)
+    handedness = jnp.where(rows[0][:, 9] >= 0.0, 1.0, -1.0)  # vertex 0 only
+    uv_all = sum(bk * r[:, 10:20] for bk, r in zip(b, rows))     # (N, 10)
+    uv = uv_all[:, 2 * TEX_BASE_COLOR : 2 * TEX_BASE_COLOR + 2]
+    normal_uv = uv_all[:, 2 * TEX_NORMAL : 2 * TEX_NORMAL + 2]
 
     # Materials (MeshInfo analog).
     mats = scene.materials
@@ -155,11 +166,21 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     # World normal via inverse-transpose (closest_hit.slang:49-50):
     # world_n = normalize((W2O)^T @ n_obj).
-    inv_rot = gather_vec(instance_inverse_rotations(scene.inst_transform), inst)  # (N,3,3)
-    # (W2O)^T @ n per pixel, elementwise (a batched-tiny einsum would
-    # lower to 2M micro-matmuls on the MXU).
+    inv_rot = gather_vec(
+        instance_inverse_rotations(scene.inst_transform).reshape(-1, 9), inst
+    )                                                            # (N, 9)
+    # (W2O)^T @ n per pixel, elementwise column contractions (a batched-tiny
+    # einsum would lower to 2M micro-matmuls on the MXU; a (N, 3, 3)
+    # intermediate would tile-pad 42.7x — see the note above).
     world_normal = normalize(
-        jnp.sum(inv_rot * n_obj[:, :, None], axis=1), eps=1e-12
+        jnp.stack(
+            [
+                sum(inv_rot[:, 3 * i + j] * n_obj[:, i] for i in range(3))
+                for j in range(3)
+            ],
+            axis=-1,
+        ),
+        eps=1e-12,
     )
     final_normal = world_normal
 
@@ -167,9 +188,16 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     has_tangent = vec_norm(tangent_obj) > 0.001
     has_normal_tex = tex[:, TEX_NORMAL] != NULL_TEXTURE
     do_nm = has_tangent & has_normal_tex
-    rot = gather_vec(scene.inst_transform, inst)[:, :, :3]       # (N,3,3) object->world
+    # Object->world rotation rows are already in xf (columns 4i..4i+2).
     world_tangent = normalize(
-        jnp.sum(rot * tangent_obj[:, None, :], axis=2), eps=1e-12
+        jnp.stack(
+            [
+                sum(xf[:, 4 * i + j] * tangent_obj[:, j] for j in range(3))
+                for i in range(3)
+            ],
+            axis=-1,
+        ),
+        eps=1e-12,
     )
     world_tangent = normalize(
         world_tangent

@@ -115,9 +115,14 @@ def _alpha_accepts(scene, tri, u, v):
     is_mask = mode == ALPHA_MASK
 
     vidx = gather_vec(scene.tri_vidx, tri)            # (N, 3)
-    uv_sets = gather_vec(scene.uvs[:, TEX_BASE_COLOR, :], vidx)  # (N, 3, 2)
-    bary = jnp_.stack([1.0 - u - v, u, v], axis=-1)
-    uv = jnp_.sum(bary[:, :, None] * uv_sets, axis=1)
+    # Per-corner (N, 2) gathers + weighted sum: an (N, 3, 2) intermediate
+    # tile-pads 3->8 x 2->128 on TPU (see render/shade.py).
+    uv_table = scene.uvs[:, TEX_BASE_COLOR, :]
+    weights = [1.0 - u - v, u, v]
+    uv = sum(
+        wk[:, None] * gather_vec(uv_table, vidx[:, k])
+        for k, wk in enumerate(weights)
+    )
 
     base_f = gather_vec(mats.base_color, prim)
     tex = gather_vec(mats.tex_index[:, TEX_BASE_COLOR], prim)
