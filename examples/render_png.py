@@ -24,14 +24,28 @@ from sunray_tpu.scene import cornell_box, reflection_room
 from sunray_tpu.utils.png import write_png
 
 
+REFERENCE_GLB = "/root/reference/examples/assets/ReflectionRoom.glb"
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="cornell", choices=["cornell", "room"])
+    ap.add_argument("--scene", default="cornell",
+                    choices=["cornell", "room", "glb"])
+    ap.add_argument(
+        "--gltf", default=REFERENCE_GLB,
+        help="GLB/glTF path for --scene glb (default: the reference's "
+             "ReflectionRoom.glb, rendered with the exact camera of "
+             "examples/png/main.rs:45-57)",
+    )
     ap.add_argument("--size", default="800x600")
     ap.add_argument("--out", default="out/render.png")
     ap.add_argument("--lighting", default="restir", choices=["restir", "nee", "brdf"])
     ap.add_argument("--warmup", type=int, default=16)
     args = ap.parse_args()
+
+    if args.scene == "glb" and "--size" not in sys.argv[1:] \
+            and not any(a.startswith("--size=") for a in sys.argv[1:]):
+        args.size = "1600x1200"       # examples/png/main.rs:45 image_extent
 
     w, h = (int(x) for x in args.size.split("x"))
     cfg = RenderConfig(width=w, height=h, lighting=args.lighting)
@@ -39,11 +53,19 @@ def main():
     if args.scene == "cornell":
         scene = cornell_box()
         camera = Camera(position=(1.0, 1.0, 4.4), target=(1.0, 1.0, 0.0), fov_y=50.0)
-    else:
+    elif args.scene == "room":
         scene = reflection_room()
         camera = Camera(position=(2.0, 2.2, 9.0), target=(2.0, 1.6, 0.0), fov_y=50.0)
+    else:
+        # The reference's offline golden setup (examples/png/main.rs:45-57):
+        # ReflectionRoom.glb, camera (13, 30, 25) -> (0, 13, 0), fov_y 45.
+        scene = None
+        camera = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                        fov_y=45.0)
 
     r = Renderer(cfg, scene)
+    if args.scene == "glb":
+        r.load_gltf(args.gltf)
     t0 = time.time()
     img = r.render_to_host_memory(camera, warmup=args.warmup)
     dt = time.time() - t0

@@ -68,6 +68,34 @@ class TestReflectionRoom:
         assert img.mean() > 0.01  # lit scene
 
 
+class TestRendererFacade:
+    def test_load_gltf_render_two_level_auto(self):
+        """The examples/png/main.rs flow through the Renderer facade:
+        load_gltf -> default instances -> render, with tracer="auto"
+        forced over the brute crossover so the manager-built scene rides
+        the shared-BLAS two-level backend."""
+        from sunray_tpu.camera import Camera
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.render.renderer import Renderer
+
+        cfg = RenderConfig(
+            width=64, height=48, bounces=2, virtual_bounces=2,
+            ris_candidates=2, di_spatial_samples=1, gi_spatial_samples=1,
+            denoise_passes=1, lighting="nee",
+            tracer="auto", brute_force_max_tris=16,
+        )
+        r = Renderer(cfg)
+        instances = r.load_gltf(os.path.join(ASSETS, "ReflectionRoom.glb"))
+        assert len(instances) >= 5
+        from sunray_tpu.ops import bvh2 as bvh2_mod
+        assert isinstance(r._scene_accel(), bvh2_mod.BlasSet)
+        cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                     fov_y=45.0)
+        img = np.asarray(r.render(cam))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.005
+
+
 class TestOtherAssets:
     @pytest.mark.parametrize("name", ["Room.glb", "Room2.glb", "Room3.glb"])
     def test_loads(self, name):
