@@ -102,9 +102,13 @@ class RenderConfig:
     # unified in-jit LBVH. "bvh" forces the unified world BVH (one tree
     # over all world triangles, host SAH + in-jit refit); "bvh2"/"brute"
     # force those paths.
-    tracer: str = "auto"               # "auto" | "brute" | "bvh" | "bvh2"
+    # "binned" is the cluster-culled stream tracer (ops/binned_trace.py):
+    # Morton clusters of cluster_k triangles + conservative per-ray-block
+    # culling + a work-list Pallas kernel — opt-in until TPU-measured.
+    tracer: str = "auto"       # "auto" | "brute" | "bvh" | "bvh2" | "binned"
     brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4
+    cluster_k: int = 128               # triangles per binned-tracer cluster
     # Rays per trace block (lax.map step). Too small serializes the frame
     # into thousands of micro-kernels (observed 4.7 s/frame at 4096); large
     # blocks amortize launch overhead while keeping (B, T) intermediates

@@ -1,0 +1,422 @@
+"""Binned (cluster-culled) ray tracing — the TPU answer to BVH traversal.
+
+Why not a per-ray BVH walk: the vmapped stack walk is gather-bound
+(~7-14 us/ray — two dynamic row gathers per iteration, docs/PERFORMANCE.md)
+and a Pallas walk is blocked on Mosaic's per-lane dynamic VMEM indexing.
+Why not plain brute force: linear in triangles (~40 ms per 1M rays per 1k
+tris), hopeless past a few thousand.
+
+This module keeps the brute kernel's VPU-bound inner loop but only runs it
+where geometry can actually be hit (the ray-stream / binning literature,
+restructured for XLA's static shapes):
+
+1. Triangles are packed into fixed-size spatial CLUSTERS (Morton order,
+   K tris each) at load time — the "leaves" of a one-level hierarchy.
+2. Rays (raster order) are cut into BLOCKS of RB lanes. A conservative
+   interval-arithmetic slab test culls (block, cluster) pairs: it bounds
+   every per-ray slab test of the block at once from the block's (origin,
+   direction) box, so it can only over-include (unit-tested property).
+3. Surviving pairs are stream-compacted into a flat work list (one sort),
+   sorted block-major, and consumed by a Pallas kernel whose BlockSpec
+   index_maps are driven by scalar-prefetched (block, cluster) ids — each
+   grid step DMAs exactly one ray block + one triangle cluster into VMEM
+   (the paged-attention pattern) and runs the Moller-Trumbore tile.
+   Consecutive steps that revisit the same ray block accumulate a running
+   closest hit in VMEM; an aliased zero-initialized "touched" plane marks
+   blocks that received any work (unvisited output blocks are garbage).
+4. The work list is consumed in fixed-size ROUNDS inside a while_loop
+   (static shapes, dynamic trip count), merging per-round results — so
+   capacity never truncates work, and typical traces take one round.
+
+Expected cost vs brute: (hit pairs / total pairs) of the brute kernel's
+compute plus a ~log^2 sort of NB*C bits. Reference analog: the RT
+hardware's AS traversal (accel.rs / tlas.rs do the same job on the GPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sunray_tpu.ops import intersect
+
+CLUSTER_K = 128        # triangles per cluster (lane width of the pack)
+BLOCK_RAYS = 512       # rays per block (lanes in the kernel tile)
+WORK_CHUNK = 4096      # (block, cluster) pairs consumed per round
+DET_EPS = intersect.DET_EPS
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class ClusterSet(NamedTuple):
+    """Triangle clustering (pytree; shapes static per scene topology).
+
+    tri_ids: (C*K,) i32 — global triangle id per pack slot (-1 padding).
+        The cluster ASSIGNMENT is load-time topology (like a BVH's tree
+        shape); geometry is refit in-jit per frame (refit_cluster_set).
+    tri_pack: (C, 16, K) f32 — SoA rows per cluster:
+        0-2 v0.xyz, 3-5 v1.xyz, 6-8 v2.xyz, 9 tri id (bitcast i32,
+        -1 padding), 10-15 zero padding (sublane alignment).
+    aabb_lo/aabb_hi: (C, 3) cluster bounds (padding tris anchored inside).
+    """
+
+    tri_ids: jnp.ndarray
+    tri_pack: jnp.ndarray
+    aabb_lo: jnp.ndarray
+    aabb_hi: jnp.ndarray
+
+    @property
+    def num_clusters(self) -> int:
+        return self.tri_pack.shape[0]
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes for (N, 3) points in [0, 1)."""
+    q = np.clip((x * 1024.0).astype(np.uint64), 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2])
+
+
+def build_cluster_set(tris, k: int = CLUSTER_K) -> ClusterSet:
+    """Host-side clustering: Morton-sort triangle centroids, chunk into
+    clusters of k. tris: (v0, v1, v2) arrays (T, 3) (numpy or jax)."""
+    v0, v1, v2 = (np.asarray(v, np.float32) for v in tris)
+    t = v0.shape[0]
+    cent = (v0 + v1 + v2) / 3.0
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-9)
+    order = np.argsort(_morton3((cent - lo) / span), kind="stable")
+
+    c = max(1, -(-t // k))
+    pad = c * k - t
+    # Padding slots repeat the last real triangle (degenerate at its v0
+    # would also work, but repeating keeps refit branch-free): id -1 marks
+    # them invalid; their geometry stays inside the cluster AABB.
+    ids = np.concatenate([order, np.full(pad, -1, np.int64)]).astype(np.int32)
+    pack, aabb_lo, aabb_hi = _pack_clusters(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(ids), c, k,
+    )
+    return ClusterSet(
+        tri_ids=jnp.asarray(ids),
+        tri_pack=pack,
+        aabb_lo=aabb_lo,
+        aabb_hi=aabb_hi,
+    )
+
+
+def _pack_clusters(v0, v1, v2, ids, c, k):
+    """(C, 16, K) pack + (C, 3) AABBs from world triangles and slot ids.
+    jit-traceable; all intermediates 2-D (tile-padding rule)."""
+    gid = jnp.maximum(ids, 0)
+    last_real = jnp.max(gid)
+    gid = jnp.where(ids >= 0, gid, last_real)
+    vcat = jnp.concatenate([v0, v1, v2], axis=1)           # (T, 9)
+    rows = vcat[gid]                                       # ONE row gather
+    cols = [rows[:, a] for a in range(9)]
+    cols.append(jax.lax.bitcast_convert_type(ids, jnp.float32))
+    comp = [x.reshape(c, k) for x in cols]                 # 10 x (C, K)
+    zero = jnp.zeros((c, k), jnp.float32)
+    pack = jnp.stack(comp + [zero] * 6, axis=1)            # (C, 16, K)
+    lo = [jnp.min(jnp.minimum(jnp.minimum(comp[a], comp[3 + a]),
+                              comp[6 + a]), axis=1) for a in range(3)]
+    hi = [jnp.max(jnp.maximum(jnp.maximum(comp[a], comp[3 + a]),
+                              comp[6 + a]), axis=1) for a in range(3)]
+    return pack, jnp.stack(lo, axis=-1), jnp.stack(hi, axis=-1)
+
+
+def refit_cluster_set(cs: ClusterSet, tris) -> ClusterSet:
+    """Recompute pack + AABBs from current (differentiable) world triangles,
+    keeping the load-time cluster assignment — the AS UPDATE analog
+    (acceleration_structure/mod.rs refit vs rebuild)."""
+    v0, v1, v2 = tris
+    c, _, k = cs.tri_pack.shape
+    pack, lo, hi = _pack_clusters(v0, v1, v2, cs.tri_ids, c, k)
+    return ClusterSet(tri_ids=cs.tri_ids, tri_pack=pack, aabb_lo=lo,
+                      aabb_hi=hi)
+
+
+# ---------------------------------------------------------------------------
+# Conservative (block x cluster) culling
+# ---------------------------------------------------------------------------
+
+
+def _interval_cull(o_t, d_t, tn, tx, aabb_lo, aabb_hi, nb, rb):
+    """(NB, C) bool: False only when NO ray in the block can hit the
+    cluster AABB within [tmin, tmax].
+
+    Soundness: for a ray r in block b, slab a gives entry tn_a(r) and exit
+    tf_a(r). With interval bounds q_a = [(b- - o)/d] over the block's
+    (o, d) box: tn_a(r) >= q_a.lo and tf_a(r) <= q_a.hi. A hit needs
+    max_a tn_a(r) <= min_a tf_a(r), so max_a q_a.lo <= min_a q_a.hi is
+    necessary. Direction intervals spanning zero make the axis
+    unconstrained (quotient unbounded) — still conservative.
+    """
+    entry = jnp.full((nb, aabb_lo.shape[0]), -jnp.inf)
+    exit_ = jnp.full((nb, aabb_lo.shape[0]), jnp.inf)
+    reach = jnp.ones((nb, aabb_lo.shape[0]), bool)
+    o_b = o_t[:, : nb * rb].reshape(3, nb, rb)
+    d_b = d_t[:, : nb * rb].reshape(3, nb, rb)
+    tx_b_ = jnp.max(tx[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
+    for a in range(3):
+        olo = jnp.min(o_b[a], axis=1)[:, None]             # (NB, 1)
+        ohi = jnp.max(o_b[a], axis=1)[:, None]
+        dlo = jnp.min(d_b[a], axis=1)[:, None]
+        dhi = jnp.max(d_b[a], axis=1)[:, None]
+        spans0 = (dlo <= 0.0) & (dhi >= 0.0)
+        # inverse-direction interval (valid only when not spans0)
+        safe_dlo = jnp.where(spans0, 1.0, dlo)
+        safe_dhi = jnp.where(spans0, 1.0, dhi)
+        ilo = jnp.minimum(1.0 / safe_dlo, 1.0 / safe_dhi)
+        ihi = jnp.maximum(1.0 / safe_dlo, 1.0 / safe_dhi)
+        # numerator interval (b - o) for both slab planes together
+        nlo = aabb_lo[None, :, a] - ohi                    # (NB, C)
+        nhi = aabb_hi[None, :, a] - olo
+        p1 = nlo * ilo
+        p2 = nlo * ihi
+        p3 = nhi * ilo
+        p4 = nhi * ihi
+        qlo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        qhi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        qlo = jnp.where(spans0, -jnp.inf, qlo)
+        qhi = jnp.where(spans0, jnp.inf, qhi)
+        entry = jnp.maximum(entry, qlo)
+        exit_ = jnp.minimum(exit_, qhi)
+        # Coordinate reachability: over t in [0, tmax] the block's rays
+        # cover o + t*d in [olo + tmax*min(dlo,0), ohi + tmax*max(dhi,0)];
+        # the slab must overlap it. This is the only constraint left when
+        # the direction interval spans zero (near-parallel rays), and a
+        # sound extra cull otherwise.
+        clo = olo + tx_b_ * jnp.minimum(dlo, 0.0)
+        chi = ohi + tx_b_ * jnp.maximum(dhi, 0.0)
+        reach = reach & (chi >= aabb_lo[None, :, a]) & (clo <= aabb_hi[None, :, a])
+
+    tn_b = jnp.min(tn[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
+    tx_b = jnp.max(tx[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
+    return (entry <= exit_) & (exit_ >= tn_b) & (entry <= tx_b) & reach
+
+
+# ---------------------------------------------------------------------------
+# Work-list kernel
+# ---------------------------------------------------------------------------
+
+
+def _binned_kernel(bids_ref, cids_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref,
+                   tri_ref, _alias_ref,
+                   t_out, tri_out, u_out, v_out, touched_out):
+    w = pl.program_id(0)
+    new_block = jnp.logical_or(
+        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
+    )
+
+    @pl.when(new_block)
+    def _():
+        t_out[0, :] = jnp.full_like(t_out[0, :], jnp.inf)
+        tri_out[0, :] = jnp.full_like(tri_out[0, :], -1)
+        u_out[0, :] = jnp.zeros_like(u_out[0, :])
+        v_out[0, :] = jnp.zeros_like(v_out[0, :])
+        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
+
+    rows = tri_ref[0]                                      # (16, K)
+    v0x, v0y, v0z = rows[0, :], rows[1, :], rows[2, :]
+    e1x = (rows[3, :] - v0x)[:, None]
+    e1y = (rows[4, :] - v0y)[:, None]
+    e1z = (rows[5, :] - v0z)[:, None]
+    e2x = (rows[6, :] - v0x)[:, None]
+    e2y = (rows[7, :] - v0y)[:, None]
+    e2z = (rows[8, :] - v0z)[:, None]
+    ids = jax.lax.bitcast_convert_type(rows[9, :], jnp.int32)[:, None]
+
+    ox, oy, oz = o_ref[0, :][None, :], o_ref[1, :][None, :], o_ref[2, :][None, :]
+    dx, dy, dz = d_ref[0, :][None, :], d_ref[1, :][None, :], d_ref[2, :][None, :]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    det_ok = jnp.abs(det) > DET_EPS
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+
+    tvx = ox - v0x[:, None]
+    tvy = oy - v0y[:, None]
+    tvz = oz - v0z[:, None]
+    uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+    valid = (
+        det_ok
+        & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+        & (tt >= tn_ref[0, :][None, :]) & (tt <= tx_ref[0, :][None, :])
+        & (ids >= 0)
+        & (ids != ex_ref[0, :][None, :])
+    )
+    tt = jnp.where(valid, tt, jnp.inf)
+
+    k = jnp.argmin(tt, axis=0)
+    sel = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0) == k[None, :]
+    tile_t = jnp.min(tt, axis=0)
+    tile_tri = jnp.max(
+        jnp.where(sel & valid, jnp.broadcast_to(ids, tt.shape), -1), axis=0
+    )
+    tile_u = jnp.max(jnp.where(sel, uu, -jnp.inf), axis=0)
+    tile_v = jnp.max(jnp.where(sel, vv, -jnp.inf), axis=0)
+
+    better = tile_t < t_out[0, :]
+    t_out[0, :] = jnp.where(better, tile_t, t_out[0, :])
+    tri_out[0, :] = jnp.where(better, tile_tri, tri_out[0, :])
+    u_out[0, :] = jnp.where(better, tile_u, u_out[0, :])
+    v_out[0, :] = jnp.where(better, tile_v, v_out[0, :])
+
+
+def _round_call(bids, cids, o_t, d_t, tn, tx, ex, tri_pack, nb, work):
+    n_lanes = nb * BLOCK_RAYS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(work,),
+        in_specs=[
+            pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, 16, tri_pack.shape[2]),
+                         lambda w, b, c: (c[w], 0, 0)),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+        ],
+    )
+    zeros = jnp.zeros((1, n_lanes), jnp.float32)
+    return pl.pallas_call(
+        _binned_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+        ],
+        input_output_aliases={8: 4},    # zeros plane -> touched (untouched
+                                        # blocks must read 0, not garbage)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(bids, cids, o_t, d_t, tn, tx, ex, tri_pack, zeros)
+
+
+def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
+                         tmax=intersect.T_MAX, exclude=None,
+                         block=BLOCK_RAYS, work_chunk=WORK_CHUNK):
+    """Closest hit over a ClusterSet. orig/d: (N, 3). Returns intersect.Hit."""
+    orig = orig.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    n = orig.shape[0]
+    nb = -(-n // BLOCK_RAYS)
+    npad = nb * BLOCK_RAYS - n
+    o_t = jnp.pad(orig, ((0, npad), (0, 0))).T
+    d_t = jnp.pad(d, ((0, npad), (0, 0)), constant_values=1.0).T
+    tn = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,)), (0, npad)
+    )[None]
+    tx = jnp.pad(
+        jnp.broadcast_to(jnp.asarray(tmax, jnp.float32).reshape(-1), (n,)),
+        (0, npad), constant_values=-jnp.inf,
+    )[None]
+    ex = (
+        jnp.pad(jnp.asarray(exclude, jnp.int32).reshape(-1), (0, npad),
+                constant_values=-2)[None]
+        if exclude is not None
+        else jnp.full((1, nb * BLOCK_RAYS), -2, jnp.int32)
+    )
+
+    c = cs.num_clusters
+    hit = _interval_cull(o_t, d_t, tn, tx, cs.aabb_lo, cs.aabb_hi,
+                         nb, BLOCK_RAYS)
+
+    flat = hit.reshape(-1)
+    nnz = jnp.sum(flat.astype(jnp.int32))
+    # Stream-compact set bits, block-major (row-major flat order is
+    # block-major, and the sort is stable): one sort of NB*C bits.
+    order = jnp.argsort(~flat, stable=True).astype(jnp.int32)
+
+    work = min(work_chunk, nb * c)
+    # Padding keeps the final round's dynamic_slice from clamping its
+    # start (which would desynchronize `pos` from the sliced items).
+    order = jnp.concatenate([order, jnp.zeros((work,), jnp.int32)])
+    n_lanes = nb * BLOCK_RAYS
+
+    def round_body(state):
+        off, best_t, best_tri, best_u, best_v = state
+        ids = jax.lax.dynamic_slice(order, (off,), (work,))
+        pos = off + jnp.arange(work, dtype=jnp.int32)
+        # Duplicate the last valid work item into the tail: closest-hit
+        # merging is idempotent, so repeats are free of special-casing.
+        last = jnp.maximum(nnz - 1 - off, 0)
+        last_id = jax.lax.dynamic_index_in_dim(ids, jnp.minimum(last, work - 1),
+                                               keepdims=False)
+        ids = jnp.where(pos < nnz, ids, last_id)
+        bids = ids // c
+        cids = ids % c
+        t_r, tri_r, u_r, v_r, touched = _round_call(
+            bids, cids, o_t, d_t, tn, tx, ex, cs.tri_pack, nb, work
+        )
+        tm = (touched[0] > 0.0) & (t_r[0] < best_t)
+        return (
+            off + work,
+            jnp.where(tm, t_r[0], best_t),
+            jnp.where(tm, tri_r[0], best_tri),
+            jnp.where(tm, u_r[0], best_u),
+            jnp.where(tm, v_r[0], best_v),
+        )
+
+    init = (
+        jnp.int32(0),
+        jnp.full((n_lanes,), jnp.inf),
+        jnp.full((n_lanes,), -1, jnp.int32),
+        jnp.zeros((n_lanes,)),
+        jnp.zeros((n_lanes,)),
+    )
+    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+        lambda s: s[0] < nnz, round_body, init
+    )
+
+    return intersect.Hit(
+        t=best_t[:n],
+        tri=jnp.maximum(best_tri[:n], 0),
+        u=best_u[:n],
+        v=best_v[:n],
+        hit=best_tri[:n] >= 0,
+    )
+
+
+def trace_occluded_binned(cs: ClusterSet, orig, d, tmax,
+                          tmin=intersect.T_MIN, exclude=None):
+    """Any-hit occlusion query: True where something blocks [tmin, tmax]."""
+    h = trace_closest_binned(cs, orig, d, tmin, tmax, exclude=exclude)
+    return h.hit

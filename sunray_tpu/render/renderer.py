@@ -60,6 +60,18 @@ class Renderer:
         brute_max = cfg.brute_force_max_tris
         if jax.default_backend() != "tpu":
             brute_max = min(brute_max, 512)
+        if cfg.tracer == "binned":
+            # Binned cluster-culled tracer (ops/binned_trace.py): the
+            # cluster ASSIGNMENT (Morton order) is load-time topology,
+            # cached per scene like the unified BVH; per-frame geometry is
+            # refit in-jit by make_tracer.
+            if self._accel_for != ("binned", id(self.scene)):
+                from sunray_tpu.ops.binned_trace import build_cluster_set
+
+                tris = self.scene.world_triangle_vertices()
+                self._accel = build_cluster_set(tris, k=cfg.cluster_k)
+                self._accel_for = ("binned", id(self.scene))
+            return self._accel
         if cfg.tracer == "bvh2" or (
             cfg.tracer == "auto" and self.scene.num_tris > brute_max
         ):

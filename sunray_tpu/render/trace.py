@@ -34,6 +34,9 @@ class TracerCtx(NamedTuple):
     # Two-level backend (ops/bvh2.py): per-frame Tlas2 built from a
     # load-time BlasSet passed as `accel`. Mutually exclusive with `bvh`.
     bvh2: Optional[object] = None
+    # Binned backend (ops/binned_trace.py): load-time ClusterSet passed as
+    # `accel`, refit in-jit per frame. Mutually exclusive with bvh/bvh2.
+    binned: Optional[object] = None
     # Alpha-cutout support (any_hit.slang:11-43): None when the scene has no
     # MASK materials (the common case — reference marks geometry OPAQUE,
     # blas.rs:276 — so the fast path stays tight), else the scene pytree for
@@ -58,8 +61,19 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
     n_tris = scene.num_tris
     alpha_scene = scene if getattr(cfg, "alpha_mask_tracing", False) else None
     if accel is not None:
+        from sunray_tpu.ops import binned_trace as binned_mod
         from sunray_tpu.ops import bvh2 as bvh2_mod
 
+        if isinstance(accel, binned_mod.ClusterSet):
+            # Binned path: cluster assignment is load-time topology; the
+            # pack + AABBs refit here from the current world geometry.
+            return TracerCtx(
+                tris=tris,
+                bvh=None,
+                block=cfg.trace_block_rays,
+                binned=binned_mod.refit_cluster_set(accel, tris),
+                alpha_scene=alpha_scene,
+            )
         if isinstance(accel, bvh2_mod.BlasSet):
             # Two-level path: object-space BLASes are static; only the tiny
             # instance TLAS is (re)built here, every frame (the
@@ -132,6 +146,10 @@ def _alpha_accepts(scene, tri, u, v):
 
 
 def _raw_closest(ctx, orig, d, tmin, tmax):
+    if ctx.binned is not None:
+        from sunray_tpu.ops import binned_trace as binned_mod
+
+        return binned_mod.trace_closest_binned(ctx.binned, orig, d, tmin, tmax)
     if ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
 
@@ -241,7 +259,13 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
         )
         _, occ, _, _ = jax.lax.while_loop(cond, body, init)
         return occ & ~degenerate
-    if ctx.bvh2 is not None:
+    if ctx.binned is not None:
+        from sunray_tpu.ops import binned_trace as binned_mod
+
+        occ = binned_mod.trace_occluded_binned(
+            ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude
+        )
+    elif ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
 
         occ = bvh2_mod.trace_occluded_bvh2(
