@@ -39,6 +39,41 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         assert int(s1.frame_count) == int(s2.frame_count)
 
+    def test_async_manager_roundtrip(self, tmp_path):
+        """AsyncCheckpointManager: non-blocking saves, retention, exact
+        resume from latest_step (orbax path when available, npz
+        otherwise)."""
+        scene = cornell_box()
+        mats = camera_matrices(CAM, CFG.width, CFG.height)
+        step = jax.jit(lambda st: render_frame(scene, CFG, st, mats))
+        state = RenderState.create(CFG)
+
+        mgr = ckpt.AsyncCheckpointManager(str(tmp_path / "ckpts"),
+                                          max_to_keep=2)
+        saved = {}
+        for i in range(4):
+            state, ldr, _ = step(state)
+            mgr.save(i, state)
+            saved[i] = jax.tree_util.tree_map(np.asarray, state)
+        mgr.wait()
+
+        assert mgr.latest_step() == 3
+        restored = mgr.restore(RenderState.create(CFG))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(saved[3]),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Retention: only the last 2 steps survive.
+        try:
+            mgr.restore(RenderState.create(CFG), step=0)
+            kept0 = True
+        except Exception:
+            kept0 = False
+        assert not kept0
+        mgr.close()
+
     def test_shape_mismatch_rejected(self, tmp_path):
         state = RenderState.create(CFG)
         path = str(tmp_path / "state.npz")
