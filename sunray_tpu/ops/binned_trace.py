@@ -157,8 +157,10 @@ def refit_cluster_set(cs: ClusterSet, tris) -> ClusterSet:
 
 
 def _interval_cull(o_t, d_t, tn, tx, aabb_lo, aabb_hi, nb, rb):
-    """(NB, C) bool: False only when NO ray in the block can hit the
-    cluster AABB within [tmin, tmax].
+    """((NB, C) bool, (NB, C) f32 entry lower bound): hit is False only
+    when NO ray in the block can hit the cluster AABB within [tmin, tmax];
+    entry is a sound lower bound on any block ray's AABB entry t (used to
+    order work near-to-far for closest-hit early termination).
 
     Soundness: for a ray r in block b, slab a gives entry tn_a(r) and exit
     tf_a(r). With interval bounds q_a = [(b- - o)/d] over the block's
@@ -208,30 +210,26 @@ def _interval_cull(o_t, d_t, tn, tx, aabb_lo, aabb_hi, nb, rb):
 
     tn_b = jnp.min(tn[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
     tx_b = jnp.max(tx[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
-    return (entry <= exit_) & (exit_ >= tn_b) & (entry <= tx_b) & reach
+    hit = (entry <= exit_) & (exit_ >= tn_b) & (entry <= tx_b) & reach
+    return hit, entry
 
 
 # ---------------------------------------------------------------------------
 # Work-list kernel
 # ---------------------------------------------------------------------------
+#
+# One grid step = one (ray block, cluster) pair: the BlockSpec index maps
+# read scalar-prefetched ids, so the pipeline DMAs exactly the culled
+# pairs. Work is sorted (block, cluster-entry-t): consecutive steps on the
+# same ray block accumulate in VMEM, and near-to-far order lets the
+# closest kernel skip a cluster once every live ray's best hit is closer
+# than the cluster's entry lower bound (early termination). The any-hit
+# kernel short-circuits once every ray is occluded.
 
 
-def _binned_kernel(bids_ref, cids_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref,
-                   tri_ref, _alias_ref,
-                   t_out, tri_out, u_out, v_out, touched_out):
-    w = pl.program_id(0)
-    new_block = jnp.logical_or(
-        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
-    )
-
-    @pl.when(new_block)
-    def _():
-        t_out[0, :] = jnp.full_like(t_out[0, :], jnp.inf)
-        tri_out[0, :] = jnp.full_like(tri_out[0, :], -1)
-        u_out[0, :] = jnp.zeros_like(u_out[0, :])
-        v_out[0, :] = jnp.zeros_like(v_out[0, :])
-        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
-
+def _ray_tile_hits(tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref):
+    """Moller-Trumbore of one (16, K) cluster row block against (lanes)
+    rays: returns (tt(K,RB) inf-where-invalid, uu, vv, valid, ids(K,1))."""
     rows = tri_ref[0]                                      # (16, K)
     v0x, v0y, v0z = rows[0, :], rows[1, :], rows[2, :]
     e1x = (rows[3, :] - v0x)[:, None]
@@ -269,71 +267,120 @@ def _binned_kernel(bids_ref, cids_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref,
         & (ids >= 0)
         & (ids != ex_ref[0, :][None, :])
     )
-    tt = jnp.where(valid, tt, jnp.inf)
+    return jnp.where(valid, tt, jnp.inf), uu, vv, valid, ids
 
-    k = jnp.argmin(tt, axis=0)
-    sel = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0) == k[None, :]
-    tile_t = jnp.min(tt, axis=0)
-    tile_tri = jnp.max(
-        jnp.where(sel & valid, jnp.broadcast_to(ids, tt.shape), -1), axis=0
+
+def _closest_kernel(bids_ref, cids_ref, ents_ref,
+                    o_ref, d_ref, tn_ref, tx_ref, ex_ref, tri_ref, _alias_ref,
+                    t_out, tri_out, u_out, v_out, touched_out):
+    w = pl.program_id(0)
+    new_block = jnp.logical_or(
+        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
     )
-    tile_u = jnp.max(jnp.where(sel, uu, -jnp.inf), axis=0)
-    tile_v = jnp.max(jnp.where(sel, vv, -jnp.inf), axis=0)
 
-    better = tile_t < t_out[0, :]
-    t_out[0, :] = jnp.where(better, tile_t, t_out[0, :])
-    tri_out[0, :] = jnp.where(better, tile_tri, tri_out[0, :])
-    u_out[0, :] = jnp.where(better, tile_u, u_out[0, :])
-    v_out[0, :] = jnp.where(better, tile_v, v_out[0, :])
+    @pl.when(new_block)
+    def _():
+        # Padded lanes (tmax == -inf) start at -inf so a fully-resolved
+        # block can still short-circuit past them.
+        pad_lane = tx_ref[0, :] == -jnp.inf
+        t_out[0, :] = jnp.where(pad_lane, -jnp.inf, jnp.inf)
+        tri_out[0, :] = jnp.full_like(tri_out[0, :], -1)
+        u_out[0, :] = jnp.zeros_like(u_out[0, :])
+        v_out[0, :] = jnp.zeros_like(v_out[0, :])
+        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
+
+    # Early termination: the work list is near-to-far per block, and
+    # ents_ref[w] lower-bounds every ray's entry t into this cluster.
+    live = jnp.logical_not(jnp.all(t_out[0, :] < ents_ref[w]))
+
+    @pl.when(live)
+    def _():
+        tt, uu, vv, valid, ids = _ray_tile_hits(
+            tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref
+        )
+        k = jnp.argmin(tt, axis=0)
+        sel = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0) == k[None, :]
+        tile_t = jnp.min(tt, axis=0)
+        tile_tri = jnp.max(
+            jnp.where(sel & valid, jnp.broadcast_to(ids, tt.shape), -1), axis=0
+        )
+        tile_u = jnp.max(jnp.where(sel, uu, -jnp.inf), axis=0)
+        tile_v = jnp.max(jnp.where(sel, vv, -jnp.inf), axis=0)
+
+        better = tile_t < t_out[0, :]
+        t_out[0, :] = jnp.where(better, tile_t, t_out[0, :])
+        tri_out[0, :] = jnp.where(better, tile_tri, tri_out[0, :])
+        u_out[0, :] = jnp.where(better, tile_u, u_out[0, :])
+        v_out[0, :] = jnp.where(better, tile_v, v_out[0, :])
 
 
-def _round_call(bids, cids, o_t, d_t, tn, tx, ex, tri_pack, nb, work):
+def _anyhit_kernel(bids_ref, cids_ref, ents_ref,
+                   o_ref, d_ref, tn_ref, tx_ref, ex_ref, tri_ref, _alias_ref,
+                   occ_out, touched_out):
+    w = pl.program_id(0)
+    new_block = jnp.logical_or(
+        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
+    )
+
+    @pl.when(new_block)
+    def _():
+        pad_lane = tx_ref[0, :] == -jnp.inf
+        occ_out[0, :] = jnp.where(pad_lane, 1.0, 0.0)
+        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
+
+    live = jnp.logical_not(jnp.all(occ_out[0, :] > 0.0))
+
+    @pl.when(live)
+    def _():
+        _, _, _, valid, _ = _ray_tile_hits(
+            tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref
+        )
+        occ_out[0, :] = jnp.maximum(
+            occ_out[0, :], jnp.any(valid, axis=0).astype(jnp.float32)
+        )
+
+
+_OUT_SPECS_CLOSEST = 5   # t, tri, u, v, touched
+_OUT_SPECS_ANYHIT = 2    # occ, touched
+
+
+def _round_call(kernel, n_out, bids, cids, ents, o_t, d_t, tn, tx, ex,
+                tri_pack, nb, work):
     n_lanes = nb * BLOCK_RAYS
+    ray_spec = pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c, e: (0, b[w]))
+    lane_spec = pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c, e: (0, b[w]))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(work,),
         in_specs=[
-            pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+            ray_spec, ray_spec, lane_spec, lane_spec, lane_spec,
             pl.BlockSpec((1, 16, tri_pack.shape[2]),
-                         lambda w, b, c: (c[w], 0, 0)),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
+                         lambda w, b, c, e: (c[w], 0, 0)),
+            lane_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-            pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w])),
-        ],
+        out_specs=[lane_spec] * n_out,
     )
+    out_shape = [jax.ShapeDtypeStruct((1, n_lanes), jnp.float32)
+                 for _ in range(n_out)]
+    if n_out == _OUT_SPECS_CLOSEST:
+        out_shape[1] = jax.ShapeDtypeStruct((1, n_lanes), jnp.int32)
     zeros = jnp.zeros((1, n_lanes), jnp.float32)
     return pl.pallas_call(
-        _binned_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_lanes), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
-        ],
-        input_output_aliases={8: 4},    # zeros plane -> touched (untouched
-                                        # blocks must read 0, not garbage)
+        out_shape=out_shape,
+        # Zeros plane aliased to the `touched` output: ray blocks that get
+        # no work are never visited, and their outputs must read as
+        # untouched (0), not garbage.
+        input_output_aliases={9: n_out - 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(bids, cids, o_t, d_t, tn, tx, ex, tri_pack, zeros)
+    )(bids, cids, ents, o_t, d_t, tn, tx, ex, tri_pack, zeros)
 
 
-def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
-                         tmax=intersect.T_MAX, exclude=None,
-                         block=BLOCK_RAYS, work_chunk=WORK_CHUNK):
-    """Closest hit over a ClusterSet. orig/d: (N, 3). Returns intersect.Hit."""
+def _prep(orig, d, tmin, tmax, exclude):
     orig = orig.reshape(-1, 3)
     d = d.reshape(-1, 3)
     n = orig.shape[0]
@@ -344,6 +391,8 @@ def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
     tn = jnp.pad(
         jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,)), (0, npad)
     )[None]
+    # Padded lanes get tmax = -inf: they can never hit, and the kernels'
+    # early-termination treats them as resolved.
     tx = jnp.pad(
         jnp.broadcast_to(jnp.asarray(tmax, jnp.float32).reshape(-1), (n,)),
         (0, npad), constant_values=-jnp.inf,
@@ -354,41 +403,80 @@ def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
         if exclude is not None
         else jnp.full((1, nb * BLOCK_RAYS), -2, jnp.int32)
     )
+    return o_t, d_t, tn, tx, ex, n, nb
 
-    c = cs.num_clusters
-    hit = _interval_cull(o_t, d_t, tn, tx, cs.aabb_lo, cs.aabb_hi,
-                         nb, BLOCK_RAYS)
 
+def _work_list(hit, entry, nb, c, work_chunk):
+    """Sorted work list from the cull mask: (flat ids, entry f32, nnz,
+    chunk size). Sort keys (miss, block, entry): hits first, block-major
+    (output accumulation needs consecutive revisits), near-to-far within
+    a block (early termination)."""
     flat = hit.reshape(-1)
     nnz = jnp.sum(flat.astype(jnp.int32))
-    # Stream-compact set bits, block-major (row-major flat order is
-    # block-major, and the sort is stable): one sort of NB*C bits.
-    order = jnp.argsort(~flat, stable=True).astype(jnp.int32)
-
+    idx = jnp.arange(nb * c, dtype=jnp.int32)
+    ent_flat = entry.reshape(-1)
+    # float -> order-preserving uint32 key
+    b = jax.lax.bitcast_convert_type(ent_flat, jnp.uint32)
+    ent_key = jnp.where(
+        (b & jnp.uint32(0x80000000)) != 0, ~b, b | jnp.uint32(0x80000000)
+    )
+    miss = (~flat).astype(jnp.int32)
+    bid = idx // c
+    _, _, _, order, ents = jax.lax.sort(
+        (miss, bid, ent_key, idx, ent_flat), num_keys=3
+    )
     work = min(work_chunk, nb * c)
     # Padding keeps the final round's dynamic_slice from clamping its
     # start (which would desynchronize `pos` from the sliced items).
     order = jnp.concatenate([order, jnp.zeros((work,), jnp.int32)])
-    n_lanes = nb * BLOCK_RAYS
+    ents = jnp.concatenate([ents, jnp.zeros((work,), jnp.float32)])
+    return order, ents, nnz, work
+
+
+def _rounds(kernel, n_out, merge, init, order, ents, nnz, work, c,
+            o_t, d_t, tn, tx, ex, tri_pack, nb):
+    """Consume the work list in fixed-size rounds inside a while_loop;
+    `merge(state, outs)` folds one round's kernel outputs."""
 
     def round_body(state):
-        off, best_t, best_tri, best_u, best_v = state
+        off = state[0]
         ids = jax.lax.dynamic_slice(order, (off,), (work,))
+        ent = jax.lax.dynamic_slice(ents, (off,), (work,))
         pos = off + jnp.arange(work, dtype=jnp.int32)
-        # Duplicate the last valid work item into the tail: closest-hit
-        # merging is idempotent, so repeats are free of special-casing.
-        last = jnp.maximum(nnz - 1 - off, 0)
-        last_id = jax.lax.dynamic_index_in_dim(ids, jnp.minimum(last, work - 1),
-                                               keepdims=False)
+        # Duplicate the last valid work item into the tail: merging is
+        # idempotent, so repeats are free of special-casing.
+        last = jnp.minimum(jnp.maximum(nnz - 1 - off, 0), work - 1)
+        last_id = jax.lax.dynamic_index_in_dim(ids, last, keepdims=False)
+        last_ent = jax.lax.dynamic_index_in_dim(ent, last, keepdims=False)
         ids = jnp.where(pos < nnz, ids, last_id)
-        bids = ids // c
-        cids = ids % c
-        t_r, tri_r, u_r, v_r, touched = _round_call(
-            bids, cids, o_t, d_t, tn, tx, ex, cs.tri_pack, nb, work
+        ent = jnp.where(pos < nnz, ent, last_ent)
+        outs = _round_call(
+            kernel, n_out, ids // c, ids % c, ent,
+            o_t, d_t, tn, tx, ex, tri_pack, nb, work,
         )
-        tm = (touched[0] > 0.0) & (t_r[0] < best_t)
+        return (off + work,) + merge(state[1:], outs)
+
+    out = jax.lax.while_loop(lambda s: s[0] < nnz, round_body,
+                             (jnp.int32(0),) + init)
+    return out[1:]
+
+
+def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
+                         tmax=intersect.T_MAX, exclude=None,
+                         block=BLOCK_RAYS, work_chunk=WORK_CHUNK):
+    """Closest hit over a ClusterSet. orig/d: (N, 3). Returns intersect.Hit."""
+    o_t, d_t, tn, tx, ex, n, nb = _prep(orig, d, tmin, tmax, exclude)
+    c = cs.num_clusters
+    hit, entry = _interval_cull(o_t, d_t, tn, tx, cs.aabb_lo, cs.aabb_hi,
+                                nb, BLOCK_RAYS)
+    order, ents, nnz, work = _work_list(hit, entry, nb, c, work_chunk)
+    n_lanes = nb * BLOCK_RAYS
+
+    def merge(state, outs):
+        best_t, best_tri, best_u, best_v = state
+        t_r, tri_r, u_r, v_r, touched = outs
+        tm = (touched[0] > 0.0) & (t_r[0] < best_t) & (tri_r[0] >= 0)
         return (
-            off + work,
             jnp.where(tm, t_r[0], best_t),
             jnp.where(tm, tri_r[0], best_tri),
             jnp.where(tm, u_r[0], best_u),
@@ -396,18 +484,18 @@ def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
         )
 
     init = (
-        jnp.int32(0),
         jnp.full((n_lanes,), jnp.inf),
         jnp.full((n_lanes,), -1, jnp.int32),
         jnp.zeros((n_lanes,)),
         jnp.zeros((n_lanes,)),
     )
-    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
-        lambda s: s[0] < nnz, round_body, init
+    best_t, best_tri, best_u, best_v = _rounds(
+        _closest_kernel, _OUT_SPECS_CLOSEST, merge, init,
+        order, ents, nnz, work, c, o_t, d_t, tn, tx, ex, cs.tri_pack, nb,
     )
 
     return intersect.Hit(
-        t=best_t[:n],
+        t=jnp.where(best_tri[:n] >= 0, best_t[:n], jnp.inf),
         tri=jnp.maximum(best_tri[:n], 0),
         u=best_u[:n],
         v=best_v[:n],
@@ -416,7 +504,26 @@ def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
 
 
 def trace_occluded_binned(cs: ClusterSet, orig, d, tmax,
-                          tmin=intersect.T_MIN, exclude=None):
-    """Any-hit occlusion query: True where something blocks [tmin, tmax]."""
-    h = trace_closest_binned(cs, orig, d, tmin, tmax, exclude=exclude)
-    return h.hit
+                          tmin=intersect.T_MIN, exclude=None,
+                          work_chunk=WORK_CHUNK):
+    """Any-hit occlusion query: True where something blocks [tmin, tmax].
+    Runs the dedicated any-hit kernel (no argmin/attribute outputs; a
+    fully-occluded block skips its remaining clusters)."""
+    o_t, d_t, tn, tx, ex, n, nb = _prep(orig, d, tmin, tmax, exclude)
+    c = cs.num_clusters
+    hit, entry = _interval_cull(o_t, d_t, tn, tx, cs.aabb_lo, cs.aabb_hi,
+                                nb, BLOCK_RAYS)
+    order, ents, nnz, work = _work_list(hit, entry, nb, c, work_chunk)
+    n_lanes = nb * BLOCK_RAYS
+
+    def merge(state, outs):
+        occ_acc, = state
+        occ, touched = outs
+        return (occ_acc | ((touched[0] > 0.0) & (occ[0] > 0.0)),)
+
+    (occ,) = _rounds(
+        _anyhit_kernel, _OUT_SPECS_ANYHIT, merge,
+        (jnp.zeros((n_lanes,), bool),),
+        order, ents, nnz, work, c, o_t, d_t, tn, tx, ex, cs.tri_pack, nb,
+    )
+    return occ[:n]

@@ -83,8 +83,8 @@ class TestIntervalCullConservative:
         d_t = d.T
         tn = jnp.zeros((1, n)) + 1e-3
         tx = jnp.full((1, n), 1e5)
-        hit = bt._interval_cull(o_t, d_t, tn, tx, cs.aabb_lo, cs.aabb_hi,
-                                nb, bt.BLOCK_RAYS)
+        hit, entry = bt._interval_cull(o_t, d_t, tn, tx, cs.aabb_lo,
+                                       cs.aabb_hi, nb, bt.BLOCK_RAYS)
         hit = np.asarray(hit)
 
         # Ground truth: per-ray slab tests.
@@ -103,6 +103,14 @@ class TestIntervalCullConservative:
         # Conservative: everything truly hit must be included.
         assert not (block_truth & ~hit).any()
 
+        # Entry soundness: the reported entry lower-bounds every hitting
+        # ray's AABB entry t (the early-termination invariant).
+        ent = np.asarray(entry).reshape(nb, 1, -1)
+        viol = ray_hit.reshape(nb, bt.BLOCK_RAYS, -1) & (
+            tnear.reshape(nb, bt.BLOCK_RAYS, -1) < ent - 1e-4
+        )
+        assert not viol.any()
+
     def test_culls_something(self):
         tris = random_scene(600, seed=5)
         cs = bt.build_cluster_set(tris, k=64)
@@ -117,7 +125,7 @@ class TestIntervalCullConservative:
             np.array([-1.0, 0.0, 0.0], np.float32), (n, 3)
         ).copy()
         orig, d = jnp.asarray(orig), jnp.asarray(d)
-        hit = bt._interval_cull(
+        hit, _ = bt._interval_cull(
             orig.T, d.T, jnp.zeros((1, n)) + 1e-3, jnp.full((1, n), 1e5),
             cs.aabb_lo, cs.aabb_hi, n // bt.BLOCK_RAYS, bt.BLOCK_RAYS,
         )
