@@ -140,7 +140,11 @@ class RenderConfig:
     # P-minor layout (avoids relayout copies around row gathers).
     # WARNING: "lanes" is experimental — correct (unit-tested) but at
     # 1080p the TPU compile did not finish within 9 minutes (pathological
-    # layout assignment); keep "rows" until toolchains improve.
+    # layout assignment); keep "rows" until toolchains improve. "flat":
+    # 1-D window slices + contiguous-C gathers — removes the 10.7x
+    # tile-padded (win, C) window temps (45 MB each at 1080p,
+    # examples/mem_audit.py); A/B against "rows" on real TPU before
+    # defaulting.
     history_gather_layout: str = "rows"
     # "banded": VMEM-windowed dynamic gathers (above). "shift": no gather
     # at all — one compare+select per offset in a (2r+1)^2 neighborhood

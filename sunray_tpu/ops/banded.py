@@ -59,6 +59,12 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     via offset_dims=(0,) — same goal as "lanes" (P-minor output, no
     relayout) without transposing the table (which is what blew the
     1080p compile past 9 minutes). With "out_t" the result is (C, P).
+    "flat" slices each band's window from the FLATTENED 1-D table and
+    gathers C contiguous elements per lane — the per-band window temp is
+    then 1-D and tile-padding-free (the 2-D (win, C) windows tile-pad
+    C -> 128 lanes: 45 MB instead of 4.2 MB each at 1080p/C=12, measured
+    in examples/mem_audit.py), trading it for a strided start-index
+    pattern the gather emitter must handle.
     """
     p, c = table.shape
     h = p // width
@@ -92,6 +98,7 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
 
     pad = jnp.zeros((halo * width, c), table.dtype)
     padded = jnp.concatenate([pad, table, pad], axis=0)
+    padded_flat = padded.reshape(-1) if layout == "flat" else None
     for b0 in range(0, h, band):
         bh = min(band, h - b0)
         dst0 = b0 * width
@@ -101,8 +108,22 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         win = (bh + 2 * halo) * width
         local = idx_b - (b0 - halo) * width
         ok = (local >= 0) & (local < win)
-        tbl = jax.lax.slice(padded, (b0 * width, 0), (b0 * width + win, c))
         local = jnp.clip(local, 0, win - 1)
+        if layout == "flat":
+            tbl = jax.lax.slice(
+                padded_flat, (b0 * width * c,), ((b0 * width + win) * c,)
+            )
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            )
+            rows = jax.lax.gather(
+                tbl, (local * c)[:, None], dnums, slice_sizes=(c,)
+            )                                   # (bh*width, c)
+            outs.append(rows)
+            oks.append(ok)
+            continue
+        tbl = jax.lax.slice(padded, (b0 * width, 0), (b0 * width + win, c))
         if layout == "out_t":
             dnums = jax.lax.GatherDimensionNumbers(
                 offset_dims=(0,), collapsed_slice_dims=(0,),

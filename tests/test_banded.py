@@ -15,7 +15,7 @@ from sunray_tpu.ops.banded import banded_row_gather
 from sunray_tpu.render.postprocess import bilinear_sample, bilinear_sample_banded
 
 
-@pytest.mark.parametrize("layout", ["rows", "lanes", "out_t"])
+@pytest.mark.parametrize("layout", ["rows", "lanes", "out_t", "flat"])
 def test_banded_matches_plain_within_halo(layout):
     rng = np.random.default_rng(0)
     h, w, c = 40, 16, 5
