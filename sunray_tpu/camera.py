@@ -151,12 +151,27 @@ def generate_rays(matrices, width: int, height: int, row0=None,
     u, v = jnp.meshgrid(px, py)          # (H, W)
     d = jnp.stack([u, v], axis=-1) * 2.0 - 1.0
 
-    ones = jnp.ones_like(d[..., :1])
-    clip = jnp.concatenate([d, ones, ones], axis=-1)     # (H, W, 4): (dx, dy, 1, 1)
-    tgt = jnp.sum(proj_inverse[None, None] * clip[..., None, :], axis=-1)[..., :3]
+    # Column contractions with the small matrices: clip = (dx, dy, 1, 1).
+    # A broadcasted (H, W, 4, 4) product tile-pads 4->8 x 4->128 on TPU
+    # (64x HBM; see render/shade.py for the measured blow-up).
+    dx2, dy2 = d[..., 0], d[..., 1]
+    tgt = jnp.stack(
+        [
+            proj_inverse[i, 0] * dx2 + proj_inverse[i, 1] * dy2
+            + proj_inverse[i, 2] + proj_inverse[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     tgt = tgt / jnp.linalg.norm(tgt, axis=-1, keepdims=True)
 
-    dirs = jnp.sum(view_inverse[None, None, :3, :3] * tgt[..., None, :], axis=-1)
+    dirs = jnp.stack(
+        [
+            sum(view_inverse[i, j] * tgt[..., j] for j in range(3))
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     origin = view_inverse[:3, 3]
     origins = jnp.broadcast_to(origin, dirs.shape)
     return origins, dirs
@@ -168,14 +183,17 @@ def project_to_prev_uv(view_proj_prev, world_pos):
     Mirrors ray_gen_ris.slang:119-130: returns (prev_uv, valid) where valid
     requires w > 0.01 and uv in [0,1).
     """
-    p = jnp.concatenate(
-        [world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1
-    )
-    clip = jnp.sum(view_proj_prev * p[..., None, :], axis=-1)
-    w = clip[..., 3]
+    # Column contractions (a broadcast (P, 4, 4) product tile-pads 64x on
+    # TPU inside the temporal passes — see render/shade.py).
+    x, y, z = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+    m = view_proj_prev
+
+    def row(i):
+        return m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3]
+
+    w = row(3)
     valid_w = w > 0.01
     safe_w = jnp.where(valid_w, w, 1.0)
-    ndc = clip[..., :2] / safe_w[..., None]
-    uv = ndc * 0.5 + 0.5
+    uv = jnp.stack([row(0), row(1)], axis=-1) / safe_w[..., None] * 0.5 + 0.5
     in_bounds = jnp.all((uv >= 0.0) & (uv < 1.0), axis=-1)
     return uv, valid_w & in_bounds

@@ -82,6 +82,12 @@ class RenderConfig:
     exposure: float = 1.0
     tonemap: str = "aces"              # "aces" | "aces_srgb" | "none"
     gamma: float = 2.2
+    # Primary-silhouette edge antialiasing (render/antialias.py): blends
+    # adjacent pixels across silhouettes by the projected edge crossing —
+    # analytic edge AA in forward, and the boundary (visibility) gradient
+    # term for vertices/camera in reverse (nvdiffrast-antialias analog).
+    # Off by default: costs one extra primary trace per frame.
+    edge_antialias: bool = False
 
     # Contribution clamps (ray_gen_final.slang:378,431)
     nee_contrib_clamp: float = 5.0

@@ -76,6 +76,10 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     )
 
     raw_img = raw.reshape(h, w, 3)
+    if cfg.edge_antialias:
+        from sunray_tpu.render.antialias import primary_edge_aa
+
+        raw_img = primary_edge_aa(scene, cfg, tracer, mats, raw_img)
     motion_img = gbuf.motion.reshape(h, w, 2)
 
     if cfg.enable_taa:
