@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--edge-aa", action="store_true",
+                    help="enable primary-silhouette gradients "
+                         "(render/antialias.py) — helps the --joint case")
     ap.add_argument("--joint", action="store_true",
                     help="also optimize the look-at target (harder: position"
                          "/target moves along the view ray are near-ambiguous"
@@ -45,6 +48,7 @@ def main():
     cfg = RenderConfig(
         width=96, height=72, lighting="nee", bounces=2, virtual_bounces=2,
         denoise_passes=1, enable_taa=False, differentiable=True,
+        edge_antialias=args.edge_aa,
     )
     scene = cornell_box()
     cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
