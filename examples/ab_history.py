@@ -48,10 +48,10 @@ def main():
     mats = camera_matrices(cam, w, h)
     combos = [
         ("banded", dict(history_gather_mode="banded")),
+        ("banded flat", dict(history_gather_mode="banded",
+                             history_gather_layout="flat")),
         ("shift r=1", dict(history_gather_mode="shift",
                            history_shift_radius=1)),
-        ("shift r=3", dict(history_gather_mode="shift",
-                           history_shift_radius=3)),
     ]
     ref = None
     for name, kw in combos:
