@@ -18,7 +18,9 @@ forward rendering gets analytic edge antialiasing for free.
 Scope (documented in docs/PARITY.md): primary hits only (the pass runs on
 its own camera-ray trace); secondary-bounce visibility (shadows, GI
 occlusion) remains shading-gradient-only. Interior shared edges are
-suppressed by the depth-gap test, not mesh adjacency.
+suppressed by the depth-gap test, not mesh adjacency. The explicit
+shard_map path (parallel/spmd.py) has its own frame body and does not run
+this pass (GSPMD sharding of render_frame handles it transparently).
 
 TPU notes: everything is pad+slice shifts and elementwise math on (H, W)
 planes; the only gather is one packed row gather of the winning
