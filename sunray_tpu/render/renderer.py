@@ -31,7 +31,29 @@ class Renderer:
         self._instances = None
         self._accel = None
         self._accel_for = None
+        # Frame/resize callbacks (lib.rs:537-558): start/end callbacks run
+        # ONCE then drop (FnOnce); resize callbacks persist (FnMut).
+        self._start_frame_cbs = []
+        self._end_frame_cbs = []
+        self._resize_cbs = []
+        # Scene groups (lib.rs:779/849): load_gltf/load_scene hand back a
+        # group id that unload_scene() removes wholesale.
+        self._groups = {}
+        self._next_group = 0
         self._build_frame_fn()
+
+    # -- callbacks (lib.rs:537-558) --
+    def add_start_of_frame_callback(self, callback):
+        """Run once at the start of the next render() (FnOnce semantics)."""
+        self._start_frame_cbs.append(callback)
+
+    def add_end_of_frame_callback(self, callback):
+        """Run once after the next render(), receiving this Renderer."""
+        self._end_frame_cbs.append(callback)
+
+    def add_resize_callback(self, callback):
+        """Run on every resize() with the new (width, height); persistent."""
+        self._resize_cbs.append(callback)
 
     def _build_frame_fn(self):
         cfg = self.config
@@ -133,17 +155,54 @@ class Renderer:
     def load_gltf(self, path: str):
         """Load a glTF scene and return the caller-owned instance list
         (lib.rs:779-794 contract: the caller hands instances to each frame;
-        by default the scene's own placements are used)."""
+        by default the scene's own placements are used). The scene group id
+        for unload_scene() is available as `last_scene_group`."""
         from sunray_tpu.scene.gltf import load_gltf
         from sunray_tpu.scene.manager import SceneManager
 
         scene = load_gltf(path)
-        self._manager = SceneManager.from_scene_buffers(scene)
-        self._instances = self._manager.default_instances(scene)
+        if self._manager is None:
+            self._manager = SceneManager.from_scene_buffers(scene)
+            keys = list(self._manager._meshes)
+            self._instances = self._manager.default_instances(scene)
+        else:
+            from sunray_tpu.scene.types import merge_atlases
+
+            sub = SceneManager.from_scene_buffers(scene)
+            atlas, off = merge_atlases(self._manager._textures, sub._textures)
+            self._manager._textures = atlas
+            prefix = f"g{self._next_group}/"
+            keys = []
+            for key, mesh in sub._meshes.items():
+                if off and "tex_index" in mesh.material:
+                    ti = np.asarray(mesh.material["tex_index"])
+                    mesh.material["tex_index"] = np.where(ti >= 0, ti + off, ti)
+                self._manager._meshes[prefix + key] = mesh
+                keys.append(prefix + key)
+            self._manager._generation += 1
+            self._instances = list(self._instances or []) + [
+                (prefix + k, t) for k, t in sub.default_instances(scene)
+            ]
+        group = self._next_group
+        self._next_group += 1
+        self._groups[group] = keys
+        self.last_scene_group = group
         self.scene = self._manager.build(self._instances)
         self._sync_scene_flags()
         self.reset_history()
         return list(self._instances)
+
+    def unload_scene(self, group: int):
+        """Remove every mesh a load_gltf() call added (lib.rs:849-871)."""
+        keys = set(self._groups.pop(group))
+        for k in keys:
+            self._manager.remove_mesh(k)
+        self._instances = [
+            (k, t) for k, t in (self._instances or []) if k not in keys
+        ]
+        self.scene = self._manager.build(self._instances)
+        self._sync_scene_flags()
+        self.reset_history()
 
     # -- runtime mesh churn (load_mesh/unload_mesh analog, lib.rs:873-973) --
     def load_mesh(self, key, positions, normals, tri_vidx, material,
@@ -182,6 +241,8 @@ class Renderer:
         self.config = self.config.with_size(width, height)
         self._build_frame_fn()
         self.reset_history()
+        for cb in self._resize_cbs:
+            cb((width, height))
 
     # -- rendering --
     def render(self, camera: Camera, instances=None):
@@ -189,6 +250,9 @@ class Renderer:
 
         instances: optional caller-owned [(mesh key, transform)] list for
         this frame (the render(..., instances) contract, lib.rs:984)."""
+        cbs, self._start_frame_cbs = self._start_frame_cbs, []
+        for cb in cbs:
+            cb()
         if instances is not None:
             self.set_instances(instances)
         if self.scene is None:
@@ -197,6 +261,9 @@ class Renderer:
         self.state, ldr, _aux = self._frame_jit(
             self.scene, self.state, mats, self._scene_accel()
         )
+        cbs, self._end_frame_cbs = self._end_frame_cbs, []
+        for cb in cbs:
+            cb(self)
         return ldr
 
     def render_to_host_memory(self, camera: Camera, warmup: Optional[int] = None):

@@ -76,6 +76,34 @@ class TextureAtlas:
         )
 
 
+def merge_atlases(a: "TextureAtlas", b: "TextureAtlas"):
+    """Stack two atlases -> (merged, offset): texture i of `b` becomes
+    texture offset + i (pad to the common HxW; sizes stay per-texture, so
+    sampling is unchanged). Used when a second glTF scene group is loaded
+    into an existing SceneManager."""
+    if a is None:
+        return b, 0
+    if b is None:
+        return a, 0
+    da = np.asarray(a.data)
+    db = np.asarray(b.data)
+    h = max(da.shape[1], db.shape[1])
+    w = max(da.shape[2], db.shape[2])
+
+    def pad(d):
+        return np.pad(
+            d, ((0, 0), (0, h - d.shape[1]), (0, w - d.shape[2]), (0, 0))
+        )
+
+    merged = TextureAtlas(
+        data=jnp.asarray(np.concatenate([pad(da), pad(db)])),
+        size=jnp.asarray(np.concatenate([np.asarray(a.size), np.asarray(b.size)])),
+        wrap=jnp.asarray(np.concatenate([np.asarray(a.wrap), np.asarray(b.wrap)])),
+        filt=jnp.asarray(np.concatenate([np.asarray(a.filt), np.asarray(b.filt)])),
+    )
+    return merged, da.shape[0]
+
+
 @struct.dataclass
 class MaterialTable:
     """Per-primitive PBR materials (SoA twin of resources/material.rs:18-58)."""

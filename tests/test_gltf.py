@@ -104,3 +104,63 @@ class TestOtherAssets:
         assert scene.num_tris > 0
         v0, _, _ = scene.world_triangle_vertices()
         assert np.isfinite(np.asarray(v0)).all()
+
+
+class TestSceneGroups:
+    def _small_cfg(self):
+        from sunray_tpu.config import RenderConfig
+
+        return RenderConfig(
+            width=48, height=36, bounces=2, virtual_bounces=2,
+            ris_candidates=2, di_spatial_samples=1, gi_spatial_samples=1,
+            denoise_passes=1, lighting="nee",
+        )
+
+    def test_load_unload_scene_group(self):
+        """load_gltf twice -> two groups; unload_scene(group2) restores the
+        first load's scene content (lib.rs:779/849 group contract)."""
+        from sunray_tpu.camera import Camera
+        from sunray_tpu.render.renderer import Renderer
+
+        r = Renderer(self._small_cfg())
+        r.load_gltf(os.path.join(ASSETS, "Room.glb"))
+        g1 = r.last_scene_group
+        tris1 = r.scene.num_tris
+        n_inst1 = len(r._instances)
+
+        r.load_gltf(os.path.join(ASSETS, "Room2.glb"))
+        g2 = r.last_scene_group
+        assert g2 != g1
+        assert r.scene.num_tris > tris1
+        assert len(r._instances) > n_inst1
+
+        cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                     fov_y=45.0)
+        img = np.asarray(r.render(cam))
+        assert np.isfinite(img).all()
+
+        r.unload_scene(g2)
+        assert r.scene.num_tris == tris1
+        assert len(r._instances) == n_inst1
+        img = np.asarray(r.render(cam))
+        assert np.isfinite(img).all()
+
+    def test_frame_and_resize_callbacks(self):
+        from sunray_tpu.camera import Camera
+        from sunray_tpu.render.renderer import Renderer
+
+        r = Renderer(self._small_cfg())
+        r.load_gltf(os.path.join(ASSETS, "Room.glb"))
+        events = []
+        r.add_start_of_frame_callback(lambda: events.append("start"))
+        r.add_end_of_frame_callback(lambda rr: events.append(("end", rr is r)))
+        r.add_resize_callback(lambda wh: events.append(("resize", wh)))
+        cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                     fov_y=45.0)
+        r.render(cam)
+        r.render(cam)   # FnOnce: start/end fire exactly once
+        assert events == ["start", ("end", True)]
+        r.resize(64, 48)
+        r.resize(48, 36)  # FnMut: resize fires every time
+        assert events[1:] == [("end", True), ("resize", (64, 48)),
+                              ("resize", (48, 36))]
