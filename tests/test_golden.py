@@ -17,7 +17,12 @@ CONFIGS = {
     # name -> (scene factory kwargs, lighting, frames)
     "cornell_restir": dict(lighting="restir", frames=8),
     "cornell_nee": dict(lighting="nee", frames=4),
+    # The reference's own golden asset + camera (examples/png/main.rs:45-57)
+    # through the glTF loader, small.
+    "reflroom_glb": dict(lighting="nee", frames=3, scene="glb"),
 }
+
+GLB = "/root/reference/examples/assets/ReflectionRoom.glb"
 
 
 def render_case(name):
@@ -33,8 +38,20 @@ def render_case(name):
         di_spatial_samples=3, gi_spatial_samples=2, denoise_passes=2,
         lighting=spec["lighting"],
     )
-    scene = cornell_box()
-    cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
+    if spec.get("scene") == "glb":
+        if not os.path.exists(GLB):
+            pytest.skip("reference assets not available")
+        from sunray_tpu.scene.gltf import load_gltf
+
+        cfg = cfg.replace(bounces=3, virtual_bounces=2, ris_candidates=4,
+                          di_spatial_samples=2, gi_spatial_samples=1,
+                          denoise_passes=1)
+        scene = load_gltf(GLB)
+        cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                     fov_y=45.0)
+    else:
+        scene = cornell_box()
+        cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
     mats = camera_matrices(cam, cfg.width, cfg.height)
     state = RenderState.create(cfg)
     step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
