@@ -61,7 +61,7 @@ def main():
     scene = cornell_box()
     mesh = make_mesh()
     dp = mesh.devices.shape[0]
-    k = max(args.views, dp)
+    k = -(-max(args.views, 1) // dp) * dp   # round views up to a dp multiple
     print(f"mesh {mesh.devices.shape} (dp={dp}), {k} views", flush=True)
 
     cams = [
@@ -117,6 +117,10 @@ def main():
     if args.resume and mgr.latest_step() is not None:
         start = int(mgr.latest_step()) + 1
         params, opt_state = mgr.restore((params, opt_state))
+        # Restored arrays land on device 0; re-replicate over the mesh so
+        # they compose with the dp-sharded batch.
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
         print(f"resumed from step {start - 1}", flush=True)
 
     def err(p):

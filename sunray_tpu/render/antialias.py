@@ -145,19 +145,25 @@ def _pair_blend(img, delta, sv, tri, t_hit, axis):
     return delta
 
 
-def primary_edge_aa(scene, cfg, tracer, mats, img):
+def primary_edge_aa(scene, cfg, tracer, mats, img, tri=None, t_hit=None):
     """Antialias `img` (H, W, 3 linear) along primary silhouettes and make
-    it differentiable w.r.t. silhouette motion. Runs its own primary-ray
-    closest-hit trace (visibility ids are stop-gradient; the blend factors
-    differentiate through vertex projection)."""
-    from sunray_tpu.camera import generate_rays
-    from sunray_tpu.render.trace import trace_closest
+    it differentiable w.r.t. silhouette motion. Visibility ids are
+    stop-gradient; the blend factors differentiate through vertex
+    projection.
 
+    tri/t_hit: the raw primary-hit (P,) triangle ids (-1 = miss) and
+    distances, normally taken from the RIS pass's first walk round
+    (gbuffer.PrimaryHit.first_tri/first_t) so no extra trace runs; traced
+    here only if absent."""
     h, w = cfg.height, cfg.width
-    orig, dirs = generate_rays(mats, w, h)
-    hit = trace_closest(tracer, orig.reshape(-1, 3), dirs.reshape(-1, 3))
-    tri = jnp.where(hit.hit, hit.tri, -1)
-    t_hit = jnp.where(hit.hit, hit.t, 1e9)
+    if tri is None:
+        from sunray_tpu.camera import generate_rays
+        from sunray_tpu.render.trace import trace_closest
+
+        orig, dirs = generate_rays(mats, w, h)
+        hit = trace_closest(tracer, orig.reshape(-1, 3), dirs.reshape(-1, 3))
+        tri = jnp.where(hit.hit, hit.tri, -1)
+        t_hit = jnp.where(hit.hit, hit.t, 1e9)
 
     # Winning triangles' world vertices: one packed row gather, then
     # projection per corner (differentiable through verts + camera).

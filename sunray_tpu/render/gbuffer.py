@@ -63,6 +63,8 @@ class PrimaryHit(NamedTuple):
     roughness: jnp.ndarray          # (P,)
     metallic: jnp.ndarray           # (P,)
     v_view: jnp.ndarray             # (P, 3)
+    first_tri: jnp.ndarray          # (P,) raw first-hit triangle (-1 miss)
+    first_t: jnp.ndarray            # (P,) raw first-hit distance (1e9 miss)
     virtual_distance: jnp.ndarray   # (P,)
     prev_uv: jnp.ndarray            # (P, 2)
     prev_valid: jnp.ndarray         # (P,)
@@ -110,6 +112,8 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
         roughness=jnp.full((p,), 0.5),
         metallic=z,
         v_view=z3,
+        first_tri=jnp.full((p,), -1, jnp.int32),
+        first_t=jnp.full((p,), 1e9, jnp.float32),
     )
 
     def cond(c):
@@ -140,6 +144,7 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
         ray_o = sel3(transmissive, o_trans, sel3(mirror, o_mir, c["ray_o"]))
 
         rec = diffuse  # lanes recording their first diffuse surface
+        is_first = c["i"] == 0
         return dict(
             i=c["i"] + 1,
             seed=seed,
@@ -154,6 +159,14 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
             roughness=jnp.where(rec, roughness, c["roughness"]),
             metallic=jnp.where(rec, metallic, c["metallic"]),
             v_view=sel3(rec, -c["ray_d"], c["v_view"]),
+            # Raw FIRST-hit visibility (pre mirror/glass walk) — reused by
+            # the edge-AA pass so it needn't re-trace primary rays.
+            first_tri=jnp.where(
+                is_first, jnp.where(hit.hit, hit.tri, -1), c["first_tri"]
+            ),
+            first_t=jnp.where(
+                is_first, jnp.where(hit.hit, hit.t, 1e9), c["first_t"]
+            ),
         )
 
     # peel=1: the primary-ray round always runs; fusing it with the frame
@@ -222,6 +235,8 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     walk_rounds = walk["i"]
     hitd = PrimaryHit(
         found=found,
+        first_tri=walk["first_tri"],
+        first_t=walk["first_t"],
         pos=walk["pos"],
         normal=walk["normal"],
         albedo=walk["albedo"],

@@ -79,7 +79,10 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     if cfg.edge_antialias:
         from sunray_tpu.render.antialias import primary_edge_aa
 
-        raw_img = primary_edge_aa(scene, cfg, tracer, mats, raw_img)
+        raw_img = primary_edge_aa(
+            scene, cfg, tracer, mats, raw_img,
+            tri=_hit.first_tri, t_hit=_hit.first_t,
+        )
     motion_img = gbuf.motion.reshape(h, w, 2)
 
     if cfg.enable_taa:

@@ -148,6 +148,8 @@ class Renderer:
         self.scene = scene
         self._manager = None
         self._instances = None
+        self._groups = {}           # any load_gltf groups are gone with
+        self.last_scene_group = None  # the manager they lived in
         self._sync_scene_flags()
         if reset_history:
             self.reset_history()
@@ -165,12 +167,17 @@ class Renderer:
             self._manager = SceneManager.from_scene_buffers(scene)
             keys = list(self._manager._meshes)
             self._instances = self._manager.default_instances(scene)
+            tex0 = self._manager._textures
+            tex_range = (0, 0 if tex0 is None
+                         else int(np.asarray(tex0.data).shape[0]))
         else:
             from sunray_tpu.scene.types import merge_atlases
 
             sub = SceneManager.from_scene_buffers(scene)
             atlas, off = merge_atlases(self._manager._textures, sub._textures)
             self._manager._textures = atlas
+            tex_range = (off, 0 if sub._textures is None
+                         else int(np.asarray(sub._textures.data).shape[0]))
             prefix = f"g{self._next_group}/"
             keys = []
             for key, mesh in sub._meshes.items():
@@ -185,7 +192,7 @@ class Renderer:
             ]
         group = self._next_group
         self._next_group += 1
-        self._groups[group] = keys
+        self._groups[group] = {"keys": keys, "tex": tex_range}
         self.last_scene_group = group
         self.scene = self._manager.build(self._instances)
         self._sync_scene_flags()
@@ -193,13 +200,41 @@ class Renderer:
         return list(self._instances)
 
     def unload_scene(self, group: int):
-        """Remove every mesh a load_gltf() call added (lib.rs:849-871)."""
-        keys = set(self._groups.pop(group))
+        """Remove every mesh (and its atlas textures) a load_gltf() call
+        added (lib.rs:849-871). Remaining meshes' texture indices are
+        remapped so repeated load/unload cycles don't grow the atlas."""
+        if self._manager is None:
+            raise KeyError(f"scene group {group} (no manager loaded)")
+        rec = self._groups.pop(group)
+        keys = set(rec["keys"])
         for k in keys:
             self._manager.remove_mesh(k)
         self._instances = [
             (k, t) for k, t in (self._instances or []) if k not in keys
         ]
+        start, count = rec["tex"]
+        if count:
+            import jax.numpy as jnp
+
+            a = self._manager._textures
+            sel = np.r_[0:start, start + count:np.asarray(a.data).shape[0]]
+            self._manager._textures = None if sel.size == 0 else type(a)(
+                data=jnp.asarray(np.asarray(a.data)[sel]),
+                size=jnp.asarray(np.asarray(a.size)[sel]),
+                wrap=jnp.asarray(np.asarray(a.wrap)[sel]),
+                filt=jnp.asarray(np.asarray(a.filt)[sel]),
+            )
+            for mesh in self._manager._meshes.values():
+                if "tex_index" in mesh.material:
+                    ti = np.asarray(mesh.material["tex_index"])
+                    mesh.material["tex_index"] = np.where(
+                        ti >= start + count, ti - count, ti
+                    )
+            for g in self._groups.values():
+                s0, c0 = g["tex"]
+                if s0 >= start + count:
+                    g["tex"] = (s0 - count, c0)
+        self._manager._generation += 1
         self.scene = self._manager.build(self._instances)
         self._sync_scene_flags()
         self.reset_history()
@@ -250,6 +285,8 @@ class Renderer:
 
         instances: optional caller-owned [(mesh key, transform)] list for
         this frame (the render(..., instances) contract, lib.rs:984)."""
+        if self.scene is None and instances is None:
+            raise RuntimeError("no scene loaded")
         cbs, self._start_frame_cbs = self._start_frame_cbs, []
         for cb in cbs:
             cb()

@@ -164,3 +164,25 @@ class TestSceneGroups:
         r.resize(48, 36)  # FnMut: resize fires every time
         assert events[1:] == [("end", True), ("resize", (64, 48)),
                               ("resize", (48, 36))]
+
+    def test_unload_reclaims_textures(self):
+        """Repeated load/unload cycles must not grow the texture atlas
+        (each unload removes the group's atlas slice and remaps indices)."""
+        from sunray_tpu.render.renderer import Renderer
+
+        r = Renderer(self._small_cfg())
+        r.load_gltf(os.path.join(ASSETS, "Room.glb"))
+        n0 = np.asarray(r._manager._textures.data).shape[0] \
+            if r._manager._textures is not None else 0
+        ti0 = {k: np.asarray(m.material.get("tex_index")).copy()
+               for k, m in r._manager._meshes.items()}
+        for _ in range(3):
+            r.load_gltf(os.path.join(ASSETS, "Room2.glb"))
+            r.unload_scene(r.last_scene_group)
+        n1 = np.asarray(r._manager._textures.data).shape[0] \
+            if r._manager._textures is not None else 0
+        assert n1 == n0
+        for k, m in r._manager._meshes.items():
+            np.testing.assert_array_equal(
+                np.asarray(m.material.get("tex_index")), ti0[k]
+            )
