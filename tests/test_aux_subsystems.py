@@ -114,3 +114,21 @@ class TestHloDump:
         assert os.path.exists(out)
         lowered = str(tmp_path / "frame_lowered.txt")
         assert os.path.getsize(lowered) > 1000
+
+    def test_async_manager_npz_fallback(self, tmp_path):
+        """The orbax-free fallback obeys the same contract (save/restore/
+        retention/latest_step)."""
+        mgr = ckpt.AsyncCheckpointManager(str(tmp_path / "npz"),
+                                          max_to_keep=2)
+        mgr._mgr = None               # force the npz path
+        mgr._max_to_keep = 2
+        state = RenderState.create(CFG)
+        for i in range(4):
+            mgr.save(i, state)
+        assert mgr.latest_step() == 3
+        assert len(mgr._npz_steps()) == 2
+        restored = mgr.restore(RenderState.create(CFG))
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
