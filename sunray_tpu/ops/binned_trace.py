@@ -124,8 +124,14 @@ def _pack_clusters(v0, v1, v2, ids, c, k):
     """(C, 16, K) pack + (C, 3) AABBs from world triangles and slot ids.
     jit-traceable; all intermediates 2-D (tile-padding rule)."""
     gid = jnp.maximum(ids, 0)
-    last_real = jnp.max(gid)
-    gid = jnp.where(ids >= 0, gid, last_real)
+    # Padding slots anchor to the LAST VALID slot's triangle (the
+    # Morton-last one, which lives in the padded cluster) — anchoring to
+    # the globally max id would balloon the last cluster's AABB and
+    # defeat its culling.
+    slot = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    last_valid = jnp.max(jnp.where(ids >= 0, slot, -1))
+    anchor = gid[jnp.maximum(last_valid, 0)]
+    gid = jnp.where(ids >= 0, gid, anchor)
     vcat = jnp.concatenate([v0, v1, v2], axis=1)           # (T, 9)
     rows = vcat[gid]                                       # ONE row gather
     cols = [rows[:, a] for a in range(9)]
@@ -174,7 +180,11 @@ def _interval_cull(o_t, d_t, tn, tx, aabb_lo, aabb_hi, nb, rb):
     reach = jnp.ones((nb, aabb_lo.shape[0]), bool)
     o_b = o_t[:, : nb * rb].reshape(3, nb, rb)
     d_b = d_t[:, : nb * rb].reshape(3, nb, rb)
-    tx_b_ = jnp.max(tx[0, : nb * rb].reshape(nb, rb), axis=1)[:, None]
+    # Finite clamp: tmax=+inf would make the reachability products
+    # inf * 0 = NaN below and silently cull everything.
+    tx_b_ = jnp.minimum(
+        jnp.max(tx[0, : nb * rb].reshape(nb, rb), axis=1), 3e37
+    )[:, None]
     for a in range(3):
         olo = jnp.min(o_b[a], axis=1)[:, None]             # (NB, 1)
         ohi = jnp.max(o_b[a], axis=1)[:, None]
@@ -463,7 +473,7 @@ def _rounds(kernel, n_out, merge, init, order, ents, nnz, work, c,
 
 def trace_closest_binned(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
                          tmax=intersect.T_MAX, exclude=None,
-                         block=BLOCK_RAYS, work_chunk=WORK_CHUNK):
+                         work_chunk=WORK_CHUNK):
     """Closest hit over a ClusterSet. orig/d: (N, 3). Returns intersect.Hit."""
     o_t, d_t, tn, tx, ex, n, nb = _prep(orig, d, tmin, tmax, exclude)
     c = cs.num_clusters

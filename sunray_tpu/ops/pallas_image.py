@@ -149,8 +149,10 @@ def _atrous_pass_pallas(planes, step, h, w):
     hs = 4 * s                         # tap-window halo thickness
     hr = -(-hs // 8) * 8               # bottom strip rows (sublane tile)
     wr = -(-hs // LANE) * LANE         # right strip cols (lane tile)
-    block = max(32, hs)                # rows per tile; hr | block
+    block = -(-max(32, hs) // hr) * hr     # rows per tile; hr | block
     cw = min(1024, -(-w // LANE) * LANE)   # cols per tile; wr | cw
+    cw = -(-cw // wr) * wr                 # enforce wr | cw (step >= 64 on
+                                           # narrow images would floor mc)
     grid_r = -(-h // block)
     grid_c = -(-w // cw)
     rows = grid_r * block + hr

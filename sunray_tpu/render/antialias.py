@@ -156,6 +156,8 @@ def primary_edge_aa(scene, cfg, tracer, mats, img, tri=None, t_hit=None):
     (gbuffer.PrimaryHit.first_tri/first_t) so no extra trace runs; traced
     here only if absent."""
     h, w = cfg.height, cfg.width
+    if (tri is None) != (t_hit is None):
+        raise ValueError("pass tri and t_hit together (or neither)")
     if tri is None:
         from sunray_tpu.camera import generate_rays
         from sunray_tpu.render.trace import trace_closest
