@@ -257,3 +257,47 @@ class TestFrameBinned:
         assert np.isfinite(b).all()
         match = np.isclose(a, b, rtol=1e-4, atol=1e-4).all(axis=-1)
         assert match.mean() > 0.99
+
+
+class TestStress:
+    def test_icosphere_matches_bvh(self):
+        """Bigger mesh, cross-validated against the BVH walk (a different
+        oracle than brute)."""
+        from examples.bench_instances import icosphere
+        from sunray_tpu.ops import bvh as bvh_mod
+
+        verts, faces = icosphere(3)   # 1280 tris
+        v0 = jnp.asarray(verts[faces[:, 0]])
+        v1 = jnp.asarray(verts[faces[:, 1]])
+        v2 = jnp.asarray(verts[faces[:, 2]])
+        tris = (v0, v1, v2)
+        cs = bt.build_cluster_set(tris, k=128)
+        orig, d = random_rays(800, seed=43, spread=2.5)
+
+        bvh = bvh_mod.build_bvh(tris, leaf_size=4)
+        ref = bvh_mod.trace_closest_bvh(bvh, tris, orig, d, block=256)
+        out = bt.trace_closest_binned(cs, orig, d)
+        assert_hits_match(out, ref)
+
+    def test_origins_inside_clusters(self):
+        """Rays starting inside geometry (negative AABB entry t) must not
+        be early-terminated away."""
+        tris = random_scene(400, seed=47, spread=1.0)
+        cs = bt.build_cluster_set(tris, k=64)
+        rng = np.random.default_rng(53)
+        orig = jnp.asarray(rng.uniform(-0.5, 0.5, (512, 3)).astype(np.float32))
+        d = rng.normal(size=(512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        ref = intersect.trace_closest_brute(tris, orig, d)
+        out = bt.trace_closest_binned(cs, orig, d)
+        assert_hits_match(out, ref)
+
+    def test_infinite_tmax(self):
+        """tmax=+inf must not NaN the reachability cull (regression)."""
+        tris = random_scene(200, seed=59)
+        cs = bt.build_cluster_set(tris, k=64)
+        orig, d = random_rays(256, seed=61)
+        ref = intersect.trace_closest_brute(tris, orig, d, tmax=1e30)
+        out = bt.trace_closest_binned(cs, orig, d, tmax=jnp.inf)
+        np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
