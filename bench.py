@@ -38,8 +38,36 @@ from sunray_tpu.render.pipeline import RenderState, render_frame
 from sunray_tpu.scene import cornell_box
 
 
+def _device_probe_ok(timeout_s: int = 180) -> bool:
+    """The axon tunnel can be down for hours, in which case jax.devices()
+    HANGS (docs in CLAUDE.md). Probe it in a subprocess with a timeout so
+    the bench fails fast with a JSON line instead of hanging the driver."""
+    if jax.config.jax_platforms == "cpu":
+        return True
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     small = "--small" in sys.argv
+    if not _device_probe_ok():
+        print(json.dumps({
+            "metric": "rays_per_second",
+            "value": 0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": "TPU tunnel unreachable (jax.devices() hang) — "
+                    "see CLAUDE.md axon-outage notes; bench skipped",
+        }))
+        return
     w, h = (480, 270) if small else (1920, 1080)
     cfg = RenderConfig(width=w, height=h, lighting="restir")
     scene = cornell_box()

@@ -17,13 +17,15 @@ import jax.numpy as jnp
 from sunray_tpu.ops.banded import banded_row_gather, shift_row_gather
 from sunray_tpu.ops.brdf import vec_norm
 
-LUMA = jnp.asarray([0.2126, 0.7152, 0.0722])
+# Plain floats: a module-level jnp.asarray would initialize the backend at
+# import time (and HANG when the axon tunnel is down — CLAUDE.md notes).
+LUMA = (0.2126, 0.7152, 0.0722)
 ACCUMULATION_FACTOR = 0.14   # temporal_accumulation.slang:30
 ATROUS_KERNEL = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
 def _luminance(c):
-    return jnp.einsum("...c,c->...", c, LUMA)
+    return c[..., 0] * LUMA[0] + c[..., 1] * LUMA[1] + c[..., 2] * LUMA[2]
 
 
 def _shift2d(img, dy, dx, pad_mode="edge"):
