@@ -6,6 +6,11 @@ LDR output vs the first config (execution-strategy changes should match to
 float-reassociation noise).
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -7,6 +7,11 @@ only, so it runs even for configs that would OOM at run time).
 Usage: python examples/mem_audit.py [--small] [--taa jnp|pallas]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import re
 

@@ -73,11 +73,11 @@ class RenderConfig:
     # "auto": Pallas banded a-trous kernel on TPU (ops/pallas_image.py),
     # jnp pad+slice elsewhere; "pallas"/"jnp" force a path.
     denoise_kernel: str = "auto"
-    # Same policy for the TAA 3x3 clamp+blend (ops/pallas_image.py) — but
-    # defaulted to "jnp" for now: the 1080p ReSTIR frame currently runs
-    # within ~100 MB of the 16 GB chip and the kernel's padded planes tip
-    # it over (examples/mem_audit.py); flip to "auto" once the tile-padding
-    # waste in the walk loop is fixed.
+    # Same policy for the TAA 3x3 clamp+blend (ops/pallas_image.py).
+    # Default "jnp": after the walk-loop tile-padding fixes the Pallas
+    # kernel fits HBM (examples/mem_audit.py), but the same-session 1080p
+    # A/B is a tie (jnp 263.0 vs pallas 264.0 ms/frame, bit-identical
+    # output — examples/ab_taa.py, v5e) so the simpler path stays default.
     taa_kernel: str = "jnp"
     exposure: float = 1.0
     tonemap: str = "aces"              # "aces" | "aces_srgb" | "none"

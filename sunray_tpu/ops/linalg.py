@@ -27,34 +27,59 @@ def einsum32(subscripts, *operands):
 SELECT_GATHER_MAX_ROWS = 128
 
 
+def gather_cols(table, idx):
+    """Gather rows of a small-component (K, C) table by index, returning a
+    TUPLE of C independent (N,)-shaped columns — the trailing dim never
+    exists, so nothing can tile-pad.
+
+    Motivation (examples/mem_audit.py on the 1080p frame): the stacked
+    (N, 12) instance-transform gather inside the walk loop materialized at
+    10.7x padding (95 MB -> 1 GB), and each of its ~12 (N, 1) column-slice
+    consumers materialized at 128x (8 MB -> 1 GB each) — ~13 GB of HBM
+    temps from ONE gather. Consumers that use columns (weighted sums,
+    unrolled contractions) should take them from here directly.
+
+    Tables with few rows (lights, materials, instances of small scenes) use
+    a per-column select chain: XLA's TPU gather emitter serializes dynamic
+    gathers it can't cache in VMEM (~25 ns/element — 49 ms for a 72-float
+    light table gathered by 6M lanes); per-row compare+select is pure VPU
+    and fuses into consumers. Chaining per column also does C/128 x less
+    VPU work than chaining a padded (N, C) buffer.
+    """
+    flat = table.reshape(table.shape[0], -1)
+    k, c = flat.shape
+    # Select chains only pay off on TPU (the serial-gather problem is
+    # TPU-specific); on CPU they just bloat compile time.
+    use_select = jax.default_backend() == "tpu"
+    if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
+        sels = [idx == row for row in range(k)]
+        cols = []
+        for cc in range(c):
+            col = jnp.broadcast_to(
+                jnp.zeros((), flat.dtype), idx.shape
+            )
+            for row in range(k):
+                col = jnp.where(sels[row], flat[row, cc], col)
+            cols.append(col)
+        return tuple(cols)
+    return tuple(flat[:, cc][idx] for cc in range(c))
+
+
 def gather_vec(table, idx):
     """Gather rows of a small-component table by index — TPU-layout safe.
 
     `table[idx]` with table (K, C...) and small C materializes a (N, C...)
     buffer whose trailing dims get padded to the (8, 128) tile — a 25-60x
     HBM expansion that OOMs 1080p frames (observed: a (P,3,5,2) UV gather
-    padding 237MB to 9.9GB). Decomposing into C independent 1-D gathers
-    keeps every materialized buffer (N,)-shaped (padding-free); the final
-    stack is an elementwise producer XLA fuses into consumers.
-
-    Tables with few rows (lights, materials, instances of small scenes) use
-    a select chain instead: XLA's TPU gather emitter serializes dynamic
-    gathers it can't cache in VMEM (~25 ns/element — 49 ms for a 72-float
-    light table gathered by 6M lanes); per-row compare+select is pure VPU
-    and fuses into consumers.
+    padding 237MB to 9.9GB). Decomposing into per-column gathers/select
+    chains (gather_cols) keeps every materialized buffer (N,)-shaped
+    (padding-free); the final stack is an elementwise producer XLA usually
+    fuses into consumers. Hot-loop callers that consume columns should call
+    gather_cols directly and never stack.
     """
     comp_shape = table.shape[1:]
-    flat = table.reshape(table.shape[0], -1)
-    k = flat.shape[0]
-    # Select chains only pay off on TPU (the serial-gather problem is
-    # TPU-specific); on CPU they just bloat compile time.
-    use_select = jax.default_backend() == "tpu"
-    if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
-        out = jnp.zeros(idx.shape + (flat.shape[1],), flat.dtype)
-        for row in range(k):
-            sel = (idx == row)[..., None]
-            out = jnp.where(sel, flat[row], out)
-        return out.reshape(idx.shape + comp_shape)
-    cols = [flat[:, c][idx] for c in range(flat.shape[1])]
+    cols = gather_cols(table, idx)
+    if len(cols) == 1 and comp_shape == ():
+        return cols[0]
     out = jnp.stack(cols, axis=-1)
     return out.reshape(idx.shape + comp_shape)

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import gather_vec
+from sunray_tpu.ops.linalg import gather_cols, gather_vec
 
 from sunray_tpu.ops.brdf import normalize, safe_sqrt, vec_norm
 from sunray_tpu.ops.texture import sample_texture
@@ -114,16 +114,20 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # walk loop; the 1080p frame OOM'd the 16 GB chip from these). The
     # 3-corner / 3-component contractions are unrolled into column
     # slices + weighted sums instead.
-    xf = gather_vec(scene.inst_transform.reshape(-1, 12), inst)  # (N, 12)
+    # gather_cols (not gather_vec): a stacked (N, 12) here materialized at
+    # 10.7x tile padding and its column slices at 128x — ~13 GB of walk-loop
+    # HBM temps at 1080p (examples/mem_audit.py) — unstacked (N,) columns
+    # are padding-free.
+    xf = gather_cols(scene.inst_transform.reshape(-1, 12), inst)  # 12 x (N,)
 
     def to_world(p):
-        # Rows of the (3, 4) object->world transform live at xf[:, 4i:4i+4].
+        # Rows of the (3, 4) object->world transform live at xf[4i..4i+3].
         return jnp.stack(
             [
-                xf[:, 4 * i + 0] * p[:, 0]
-                + xf[:, 4 * i + 1] * p[:, 1]
-                + xf[:, 4 * i + 2] * p[:, 2]
-                + xf[:, 4 * i + 3]
+                xf[4 * i + 0] * p[:, 0]
+                + xf[4 * i + 1] * p[:, 1]
+                + xf[4 * i + 2] * p[:, 2]
+                + xf[4 * i + 3]
                 for i in range(3)
             ],
             axis=-1,
@@ -166,16 +170,16 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     # World normal via inverse-transpose (closest_hit.slang:49-50):
     # world_n = normalize((W2O)^T @ n_obj).
-    inv_rot = gather_vec(
+    inv_rot = gather_cols(
         instance_inverse_rotations(scene.inst_transform).reshape(-1, 9), inst
-    )                                                            # (N, 9)
+    )                                                            # 9 x (N,)
     # (W2O)^T @ n per pixel, elementwise column contractions (a batched-tiny
     # einsum would lower to 2M micro-matmuls on the MXU; a (N, 3, 3)
     # intermediate would tile-pad 42.7x — see the note above).
     world_normal = normalize(
         jnp.stack(
             [
-                sum(inv_rot[:, 3 * i + j] * n_obj[:, i] for i in range(3))
+                sum(inv_rot[3 * i + j] * n_obj[:, i] for i in range(3))
                 for j in range(3)
             ],
             axis=-1,
@@ -192,7 +196,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     world_tangent = normalize(
         jnp.stack(
             [
-                sum(xf[:, 4 * i + j] * tangent_obj[:, j] for j in range(3))
+                sum(xf[4 * i + j] * tangent_obj[:, j] for j in range(3))
                 for i in range(3)
             ],
             axis=-1,
