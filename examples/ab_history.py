@@ -11,7 +11,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 import jax
 import numpy as np
@@ -48,10 +51,14 @@ def main():
     mats = camera_matrices(cam, w, h)
     combos = [
         ("banded", dict(history_gather_mode="banded")),
-        ("banded flat", dict(history_gather_mode="banded",
-                             history_gather_layout="flat")),
+        # shift now includes global-motion compensation (one dynamic roll
+        # by the mean reprojection offset); "banded flat" measured 30x
+        # worse (2026-08-19 session) and was dropped from the A/B.
+        ("shift r=1 g", dict(history_gather_mode="shift",
+                             history_shift_radius=1)),
         ("shift r=1", dict(history_gather_mode="shift",
-                           history_shift_radius=1)),
+                           history_shift_radius=1,
+                           history_shift_global=False)),
     ]
     ref = None
     for name, kw in combos:

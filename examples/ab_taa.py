@@ -6,9 +6,10 @@ LDR output vs the first config (execution-strategy changes should match to
 float-reassociation noise).
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 import sys

@@ -8,9 +8,10 @@ Usage: python examples/bench_binned.py [--subdiv 6] [--rays 2097152]
        [--tracers binned,bvh,brute] [--cluster-k 128]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 import argparse
 import time

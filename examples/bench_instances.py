@@ -15,7 +15,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 def icosphere(subdiv=2):

@@ -4,14 +4,15 @@ Runs each config, reports frame time, rays/s, and output statistics; with
 --save writes renders to out/configs/. Config list (BASELINE.json):
   1. Cornell box, 1 spp, no denoise
   2. Single glTF mesh + textured material, direct lighting only, BVH
-  3. Multi-mesh scene with RIS/ReSTIR, 4 spp (approximated by 4 frames)
+  3. Multi-mesh scene with RIS/ReSTIR, 4 spp (cfg.samples=4 in-frame)
   4. Progressive accumulation over 64 frames at 1080p
   5. Full pipeline: ReSTIR + TAA + denoise + postprocess + grads
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 import argparse
@@ -48,8 +49,10 @@ def run_config(name, scene, cam, cfg, frames):
     dt = (time.time() - t0) / frames
     img = np.asarray(ldr)
     p = cfg.width * cfg.height
-    rays = p * (int(aux["ris_rounds"]) + 3 + int(aux["final_rounds"]) + 2
-                + cfg.gi_spatial_samples)
+    # final_rounds is already summed over cfg.samples; the fixed
+    # visibility/shadow rays of the final pass run once per sample.
+    rays = p * (int(aux["ris_rounds"]) + 3 + int(aux["final_rounds"])
+                + cfg.samples * (2 + cfg.gi_spatial_samples))
     return {
         "config": name,
         "frame_ms": round(dt * 1e3, 1),
@@ -94,7 +97,7 @@ def main():
         "3_multimesh_restir_4spp",
         reflection_room(),
         Camera(position=(2.0, 2.2, 9.0), target=(2.0, 1.6, 0.0), fov_y=50.0),
-        RenderConfig(**size(1280, 720), lighting="restir"),
+        RenderConfig(**size(1280, 720), lighting="restir", samples=4),
         4,
     ))
     cases.append((

@@ -9,9 +9,10 @@ Usage: python examples/live_viewer.py [--size 480x360] [--port 8090]
        [--frames N] [--cpu]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 import argparse
 

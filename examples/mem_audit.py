@@ -7,9 +7,10 @@ only, so it runs even for configs that would OOM at run time).
 Usage: python examples/mem_audit.py [--small] [--taa jnp|pallas]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 import argparse

@@ -11,9 +11,10 @@ examples/optimize_material.py.
 Usage: python examples/optimize_camera.py [--steps 80] [--cpu]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 import argparse
 import dataclasses

@@ -9,9 +9,10 @@ exercised end-to-end.
 Usage: python examples/optimize_material.py [--steps 60] [--cpu]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 import argparse
 

@@ -11,9 +11,10 @@ accelerator).
 Usage: python examples/orbit.py [--frames 72] [--size 320x240] [--out out/orbit]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 import argparse

@@ -6,9 +6,10 @@ the full pipeline with 16 warm-up frames and writes a PNG.
 Usage: python examples/render_png.py [--scene cornell|room] [--size WxH]
 """
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+try:
+    import _path  # noqa: F401  (repo-root sys.path bootstrap)
+except ImportError:  # imported as examples.* (repo root already on path)
+    pass
 
 
 import argparse
@@ -41,7 +42,13 @@ def main():
     ap.add_argument("--out", default="out/render.png")
     ap.add_argument("--lighting", default="restir", choices=["restir", "nee", "brdf"])
     ap.add_argument("--warmup", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the image's sitecustomize "
+                         "otherwise pins jax to the remote TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.scene == "glb" and "--size" not in sys.argv[1:] \
             and not any(a.startswith("--size=") for a in sys.argv[1:]):

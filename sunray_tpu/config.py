@@ -36,7 +36,9 @@ class RenderConfig:
     width: int = 1600
     height: int = 1200
 
-    # Path tracing (ray_gen_final.slang:40-42)
+    # Path tracing (ray_gen_final.slang:40-42). samples > 1 averages N
+    # independently-seeded final passes per frame (in-frame spp — an
+    # extension; the reference is fixed 1 spp, ray_gen_final.slang:40).
     samples: int = 1
     bounces: int = 10
     virtual_bounces: int = 20          # mirror/glass passthrough rounds (RIS pass)
@@ -110,11 +112,25 @@ class RenderConfig:
     # force those paths.
     # "binned" is the cluster-culled stream tracer (ops/binned_trace.py):
     # Morton clusters of cluster_k triangles + conservative per-ray-block
-    # culling + a work-list Pallas kernel — opt-in until TPU-measured.
+    # culling + a work-list Pallas kernel.
+    # Above the brute crossover, "auto" picks between the two scalable
+    # backends from the scene's shape (measured v5e, 2026-08-19 session +
+    # examples/bench_instances.py):
+    #   - a big mesh dominates (largest BLAS > bvh2_blas_max_tris) or the
+    #     scene is a single instance -> "binned": per-ray stack walks
+    #     collapse on big trees (82k tris: binned 358 ms vs unified-BVH
+    #     9274 ms vs brute 6732 ms per 2M coherent rays; binned also wins
+    #     incoherent bounce rays 4.9 s vs 6.8 s brute);
+    #   - many instances of small shared meshes -> "bvh2": shallow BLAS
+    #     walks + per-frame in-jit TLAS (64x512-tri orbit: 234 ms vs
+    #     44 s unified).
     tracer: str = "auto"       # "auto" | "brute" | "bvh" | "bvh2" | "binned"
     brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4
     cluster_k: int = 128               # triangles per binned-tracer cluster
+    # Largest per-mesh BLAS the auto policy will hand to the two-level
+    # stack-walk backend; bigger meshes go to the binned stream tracer.
+    bvh2_blas_max_tris: int = 8192
     # Rays per trace block (lax.map step). Too small serializes the frame
     # into thousands of micro-kernels (observed 4.7 s/frame at 4096); large
     # blocks amortize launch overhead while keeping (B, T) intermediates
@@ -152,14 +168,25 @@ class RenderConfig:
     # examples/mem_audit.py); A/B against "rows" on real TPU before
     # defaulting.
     history_gather_layout: str = "rows"
-    # "banded": VMEM-windowed dynamic gathers (above). "shift": no gather
-    # at all — one compare+select per offset in a (2r+1)^2 neighborhood
-    # over flat-rolled tables (ops/banded.shift_row_gather); history
-    # farther than `shift_radius` pixels in EITHER axis is rejected like
-    # off-screen history. Exact for static cameras (reprojection delta is
-    # jitter-only) and pans up to r px/frame.
-    history_gather_mode: str = "banded"
-    history_shift_radius: int = 3
+    # "banded": VMEM-windowed dynamic gathers (above). "shift" (default):
+    # no gather at all — one compare+select per offset in a (2r+1)^2
+    # neighborhood over flat-rolled tables (ops/banded.shift_row_gather),
+    # with global-motion compensation (one dynamic roll by the mean
+    # reprojection offset) so arbitrary-speed pans/yaws keep history;
+    # per-pixel deviation from the mean motion beyond `shift_radius` px
+    # (strong rotation falloff, parallax) is rejected like off-screen
+    # history — the same divergence class as banded's 16-row halo, in
+    # both axes. Static cameras are BIT-identical to banded/plain gathers
+    # and 8.5% faster at 1080p (242.8 -> 222.2 ms same-session,
+    # 2026-08-19; the selection pipeline runs on an int32-bitcast view,
+    # see shift_row_gather's denormal note).
+    history_gather_mode: str = "shift"
+    history_shift_radius: int = 1
+    # Shift mode: compensate uniform camera motion with one dynamic roll
+    # by the mean reprojection offset (ops/banded.shift_row_gather) so
+    # arbitrary-speed pans keep history; residual deviation beyond the
+    # radius is still rejected.
+    history_shift_global: bool = True
 
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete

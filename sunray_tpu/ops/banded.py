@@ -140,7 +140,8 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     return jnp.concatenate(outs, axis=axis), jnp.concatenate(oks, axis=0)
 
 
-def shift_row_gather(table, idx, width, radius_y, radius_x, force=None):
+def shift_row_gather(table, idx, width, radius_y, radius_x, force=None,
+                     global_motion=True, valid=None):
     """Row gather restricted to a (2ry+1) x (2rx+1) screen-space
     neighborhood of the destination pixel, with NO dynamic gather at all:
     one compare+select per neighborhood offset over a flat-rolled view of
@@ -149,32 +150,76 @@ def shift_row_gather(table, idx, width, radius_y, radius_x, force=None):
     the table per output element on the VPU — no serialized gather, no
     relayout copies, no per-op table staging.
 
+    global_motion=True additionally compensates uniform camera motion:
+    the neighborhood is centered on the MEAN source offset (one dynamic
+    roll of the table by round(mean(dy))*width + round(mean(dx))) instead
+    of the destination pixel, so arbitrary-speed pans/yaws stay exact as
+    long as the per-pixel DEVIATION from the mean motion (rotation
+    falloff, parallax) is within `radius` pixels. One extra table copy
+    (the dynamic roll) + two scalar reductions per call.
+
+    valid: optional (P,) bool — lanes to include in the mean-motion
+    estimate (callers pass their reprojection in-bounds mask so clamped
+    off-screen indices don't drag the mean). Purely an estimator hint;
+    correctness never depends on it (residual rejection is per-lane).
+
     Returns (rows (P, C), ok (P,) bool): ok=False where the source pixel
     is outside the neighborhood (callers treat it exactly like
-    banded_row_gather's out-of-band lanes: invalid history). Use for
-    reprojection-style reads where per-frame motion is a few pixels;
-    beyond `radius` the frame cleanly loses one frame of history.
+    banded_row_gather's out-of-band lanes: invalid history). Beyond the
+    compensated `radius` the frame cleanly loses one frame of history.
 
     Wraparound safety: a flat roll by sy*width + sx crosses a row
     boundary only for lanes whose dst_x + sx leaves [0, width), but such
-    a lane cannot have dx == sx (src_x is always in-range), so rolled
-    garbage is never selected.
+    a lane is never SELECTED: selection requires dx == sx (residual
+    match), and dx is computed from the in-range source pixel, so rolled
+    garbage never lands in the output. The same argument covers the
+    global-motion roll (selection requires the full 2-D offset match).
+
+    Denormal hazard: callers pack int32 fields bitcast to f32
+    (restir._gather_packed), and small ints are DENORMAL floats — TPU
+    float datapaths flush them to zero. Static rolls are pure lane
+    rotations, but the global-motion dynamic roll fuses through float
+    registers and corrupted bitcast light/triangle ids (measured:
+    light_idx zeroed on 57k/130k lanes at 480x270). The whole
+    roll+select pipeline therefore runs on an int32-bitcast view —
+    integer ops are bit-exact data movement — and bitcasts back at the
+    end.
     """
     p, c = table.shape
     use = force if force is not None else (jax.default_backend() == "tpu")
     if not use:
         return table[idx], jnp.ones((p,), bool)
+    is_float = jnp.issubdtype(table.dtype, jnp.floating)
+    bits = (
+        jax.lax.bitcast_convert_type(table, jnp.int32) if is_float else table
+    )
     dst = jnp.arange(p, dtype=idx.dtype)
     dy = idx // width - dst // width
     dx = idx % width - dst % width
+    if global_motion:
+        if valid is not None:
+            wts = valid.astype(jnp.float32)
+            den = jnp.maximum(jnp.sum(wts), 1.0)
+            mean = lambda v: jnp.sum(v.astype(jnp.float32) * wts) / den
+        else:
+            mean = lambda v: jnp.mean(v.astype(jnp.float32))
+        gy = jnp.round(mean(dy)).astype(idx.dtype)
+        gx = jnp.round(mean(dx)).astype(idx.dtype)
+        base = jnp.roll(bits, -(gy * width + gx), axis=0)
+        dy = dy - gy
+        dx = dx - gx
+    else:
+        base = bits
     ok = (jnp.abs(dy) <= radius_y) & (jnp.abs(dx) <= radius_x)
     nx = 2 * radius_x + 1
     key = jnp.where(ok, (dy + radius_y) * nx + (dx + radius_x), -1)
-    out = jnp.zeros_like(table)
+    out = jnp.zeros_like(base)
     k = 0
     for sy in range(-radius_y, radius_y + 1):
         for sx in range(-radius_x, radius_x + 1):
-            rolled = jnp.roll(table, -(sy * width + sx), axis=0)
+            rolled = jnp.roll(base, -(sy * width + sx), axis=0)
             out = jnp.where((key == k)[:, None], rolled, out)
             k += 1
+    if is_float:
+        out = jax.lax.bitcast_convert_type(out, table.dtype)
     return out, ok

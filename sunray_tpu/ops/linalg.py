@@ -27,10 +27,12 @@ def einsum32(subscripts, *operands):
 SELECT_GATHER_MAX_ROWS = 128
 
 
-def gather_cols(table, idx):
+def gather_cols(table, idx, force_select=None):
     """Gather rows of a small-component (K, C) table by index, returning a
     TUPLE of C independent (N,)-shaped columns — the trailing dim never
     exists, so nothing can tile-pad.
+
+    force_select: True/False overrides the TPU-only gate (tests).
 
     Motivation (examples/mem_audit.py on the 1080p frame): the stacked
     (N, 12) instance-transform gather inside the walk loop materialized at
@@ -50,16 +52,19 @@ def gather_cols(table, idx):
     k, c = flat.shape
     # Select chains only pay off on TPU (the serial-gather problem is
     # TPU-specific); on CPU they just bloat compile time.
-    use_select = jax.default_backend() == "tpu"
+    use_select = (jax.default_backend() == "tpu"
+                  if force_select is None else force_select)
     if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
-        sels = [idx == row for row in range(k)]
+        # Seed with row 0 and select rows 1..K-1 (one select fewer per
+        # column). Out-of-range indices therefore yield row 0 here, while
+        # the dynamic-gather branch clamps per XLA semantics — both are
+        # arbitrary-but-finite; callers must mask invalid lanes.
+        sels = [idx == row for row in range(1, k)]
         cols = []
         for cc in range(c):
-            col = jnp.broadcast_to(
-                jnp.zeros((), flat.dtype), idx.shape
-            )
-            for row in range(k):
-                col = jnp.where(sels[row], flat[row, cc], col)
+            col = jnp.broadcast_to(flat[0, cc], idx.shape)
+            for row in range(1, k):
+                col = jnp.where(sels[row - 1], flat[row, cc], col)
             cols.append(col)
         return tuple(cols)
     return tuple(flat[:, cc][idx] for cc in range(c))

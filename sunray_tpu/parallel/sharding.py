@@ -73,9 +73,19 @@ def render_frame_sharded(scene, cfg, state: RenderState, mats, mesh: Mesh):
     scene = replicate(scene, mesh)
     mats = replicate(mats, mesh)
 
-    step = jax.jit(lambda sc, st, m: render_frame(sc, cfg, st, m))
+    # The jitted step is cached per (cfg, mesh): a fresh jit(lambda) per
+    # call would recompile EVERY frame (~20 s+ at dryrun sizes — measured;
+    # the CLAUDE.md anti-pattern).
+    key = (cfg, mesh)
+    step = _SHARDED_STEP_CACHE.get(key)
+    if step is None:
+        step = jax.jit(lambda sc, st, m: render_frame(sc, cfg, st, m))
+        _SHARDED_STEP_CACHE[key] = step
     with mesh:
         return step(scene, state, mats)
+
+
+_SHARDED_STEP_CACHE: dict = {}
 
 
 def training_step(scene, cfg, mats_batch, targets, mesh: Mesh,
@@ -116,7 +126,11 @@ def training_step(scene, cfg, mats_batch, targets, mesh: Mesh,
     scene = replicate(scene, mesh)
     param = replicate(param, mesh)
 
-    vg = jax.jit(jax.value_and_grad(loss_fn))
+    key = (cfg, mesh, param_path, "vg")
+    vg = _SHARDED_STEP_CACHE.get(key)
+    if vg is None:
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        _SHARDED_STEP_CACHE[key] = vg
     with mesh:
         loss, grads = vg(param, scene, mats_batch, targets)
     return loss, grads

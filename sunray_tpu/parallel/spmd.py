@@ -66,6 +66,15 @@ def _frame_local(scene, cfg, state, mats, nshards, axis):
         scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
         grid=grid,
     )
+    for s in range(1, cfg.samples):
+        raw_s, rounds_s = final_pass(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
+            grid=grid, sample_idx=s,
+        )
+        raw = raw + raw_s
+        final_rounds = final_rounds + rounds_s
+    if cfg.samples > 1:
+        raw = raw / cfg.samples
 
     raw_img = raw.reshape(hl, w, 3)
     motion_img = gbuf.motion.reshape(hl, w, 2)

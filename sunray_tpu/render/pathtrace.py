@@ -95,8 +95,14 @@ def _blue_noise_rands(cfg, frame_count, grid=None):
 
 def final_pass(scene, cfg, tracer, lights, mats, gbuf,
                r_di: restir.ReservoirDI, r_gi: restir.ReservoirGI,
-               frame_count, grid=None):
-    """-> raw HDR color (P, 3). grid: shard_map row sharding (ris_pass)."""
+               frame_count, grid=None, sample_idx: int = 0):
+    """-> raw HDR color (P, 3). grid: shard_map row sharding (ris_pass).
+
+    sample_idx: which of cfg.samples per-pixel samples this evaluation is
+    (the reference is fixed 1 spp, ray_gen_final.slang:40; cfg.samples > 1
+    is a sunray_tpu extension — render_frame averages `samples` salted
+    final passes per frame). samples == 1 keeps the round-1 seed stream
+    bit-exactly."""
     w, h = cfg.width, cfg.height
     num_lights = lights.num if lights is not None else 0
     use_restir = cfg.lighting == "restir" and num_lights > 0
@@ -116,7 +122,12 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     cam_origin = origins[0]
 
     pix = pix0 + jnp.arange(p, dtype=jnp.uint32)
-    seed = rng_mod.init_seed(pix, frame_count.astype(jnp.uint32))
+    fc = frame_count.astype(jnp.uint32)
+    if cfg.samples > 1:
+        # Decorrelate the per-sample streams; stride by `samples` so no
+        # (frame, sample) pair ever reuses another frame's stream.
+        fc = fc * jnp.uint32(cfg.samples) + jnp.uint32(sample_idx)
+    seed = rng_mod.init_seed(pix, fc)
     bn_r1, bn_r2 = _blue_noise_rands(cfg, frame_count, grid)
 
     z3 = jnp.zeros((p, 3), jnp.float32)

@@ -71,9 +71,20 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
         scene, cfg, tracer, lights, mats, state.prev_view_proj,
         state.res_di, state.res_gi, frame_count,
     )
+    # cfg.samples > 1: average `samples` independently-seeded final passes
+    # (in-frame spp — the reference is fixed 1 spp, ray_gen_final.slang:40).
     raw, final_rounds = final_pass(
         scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count
     )
+    for s in range(1, cfg.samples):
+        raw_s, rounds_s = final_pass(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
+            sample_idx=s,
+        )
+        raw = raw + raw_s
+        final_rounds = final_rounds + rounds_s
+    if cfg.samples > 1:
+        raw = raw / cfg.samples
 
     raw_img = raw.reshape(h, w, 3)
     if cfg.edge_antialias:
@@ -94,6 +105,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             history_layout=cfg.history_gather_layout,
             history_mode=cfg.history_gather_mode,
             history_radius=cfg.history_shift_radius,
+            history_shift_global=cfg.history_shift_global,
             kernel=cfg.taa_kernel,
         )
     else:

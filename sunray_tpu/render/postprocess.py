@@ -72,7 +72,7 @@ def bilinear_sample(img, uv):
 
 
 def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
-                           mode="banded", radius=3):
+                           mode="banded", radius=3, shift_global=True):
     """Bilinear history fetch as ONE banded 12-column row gather.
 
     The four corner taps of `bilinear_sample` are packed into a
@@ -101,8 +101,10 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
     fy = (py - by)[..., None]
     idx = (by * w + bx).reshape(-1)
     if mode == "shift":
+        on_screen = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1).reshape(-1)
         rows, ok = shift_row_gather(
             packed.reshape(h * w, 4 * c), idx, w, radius, radius, force=force,
+            valid=on_screen, global_motion=shift_global,
         )
         layout = "rows"
     else:
@@ -195,7 +197,8 @@ def temporal_accumulate(raw, motion, history, frame_count,
                         accumulation_factor=ACCUMULATION_FACTOR,
                         history_band=0, history_halo=0,
                         history_layout="rows", history_mode="banded",
-                        history_radius=3, grid=None, kernel="jnp"):
+                        history_radius=3, history_shift_global=True,
+                        grid=None, kernel="jnp"):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
@@ -230,6 +233,7 @@ def temporal_accumulate(raw, motion, history, frame_count,
         hist, valid = bilinear_sample_banded(
             history, prev_uv, history_band, history_halo,
             layout=history_layout, mode=history_mode, radius=history_radius,
+            shift_global=history_shift_global,
         )
     else:
         hist = bilinear_sample(history, prev_uv)

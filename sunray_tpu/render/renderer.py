@@ -18,6 +18,7 @@ import numpy as np
 
 from sunray_tpu.camera import Camera, camera_matrices
 from sunray_tpu.config import RenderConfig
+from sunray_tpu.ops.accel_state import AsState, FAST_BUILD, SLOW_BUILD
 from sunray_tpu.render.pipeline import RenderState, render_frame
 
 
@@ -31,6 +32,12 @@ class Renderer:
         self._instances = None
         self._accel = None
         self._accel_for = None
+        # AS rebuild/refit heuristic state (acceleration_structure/
+        # mod.rs:31-148) + the op it chose for the last frame (telemetry).
+        self._as_state = AsState()
+        self._lbvh_jit = None
+        self._lbvh_leaf = None
+        self.last_accel_op = None
         # Frame/resize callbacks (lib.rs:537-558): start/end callbacks run
         # ONCE then drop (FnOnce); resize callbacks persist (FnMut).
         self._start_frame_cbs = []
@@ -82,21 +89,33 @@ class Renderer:
         brute_max = cfg.brute_force_max_tris
         if jax.default_backend() != "tpu":
             brute_max = min(brute_max, 512)
-        if cfg.tracer == "binned":
+        if cfg.tracer == "auto" and self.scene.num_tris > brute_max:
+            # Above the brute crossover: pick the scalable backend from the
+            # scene's shape (see config.py tracer docs for the measured
+            # crossovers). Cached per topology — the decision needs host
+            # reads of the instance tables.
+            mode = self._auto_big_mode()
+        else:
+            mode = cfg.tracer
+        if mode == "binned":
             # Binned cluster-culled tracer (ops/binned_trace.py): the
             # cluster ASSIGNMENT (Morton order) is load-time topology,
             # cached per scene like the unified BVH; per-frame geometry is
-            # refit in-jit by make_tracer.
-            if self._accel_for != ("binned", id(self.scene)):
+            # refit in-jit by make_tracer. The cache key holds the scene
+            # OBJECT (not id()) so a freed id can never alias a new scene
+            # to a stale ClusterSet.
+            if not (
+                isinstance(self._accel_for, tuple)
+                and self._accel_for[0] == "binned"
+                and self._accel_for[1] is self.scene
+            ):
                 from sunray_tpu.ops.binned_trace import build_cluster_set
 
                 tris = self.scene.world_triangle_vertices()
                 self._accel = build_cluster_set(tris, k=cfg.cluster_k)
-                self._accel_for = ("binned", id(self.scene))
+                self._accel_for = ("binned", self.scene)
             return self._accel
-        if cfg.tracer == "bvh2" or (
-            cfg.tracer == "auto" and self.scene.num_tris > brute_max
-        ):
+        if mode == "bvh2":
             # Two-level: object-space BLAS set is a function of the mesh
             # TOPOLOGY only — cache survives instance-transform changes
             # (set_instances rebuilds SceneBuffers but not the meshes), the
@@ -116,22 +135,133 @@ class Renderer:
                 )
                 self._accel_for = ("bvh2", key)
             return self._accel
-        use_bvh = cfg.tracer == "bvh" or (
-            cfg.tracer == "auto"
-            and self.scene.num_tris > cfg.brute_force_max_tris
-        )
-        if not use_bvh:
+        if mode != "bvh":
+            self.last_accel_op = None
             return None
-        if self._accel_for is not self.scene:
+        return self._unified_accel()
+
+    def _auto_big_mode(self) -> str:
+        """Scalable-backend choice for tracer="auto" above the brute
+        crossover (measured crossovers in the config.py tracer docs):
+        "bvh2" when >=2 instances all have small BLASes (shallow stack
+        walks, shared meshes); "binned" when a big mesh dominates or the
+        scene is one instance (stack walks collapse on big trees). Cached
+        per topology — recomputing needs host reads."""
+        scene = self.scene
+        gen = (
+            self._manager._generation if self._manager is not None else None
+        )
+        key = (scene, gen, int(scene.num_tris))
+        cached = getattr(self, "_auto_mode_for", None)
+        if cached is not None and cached[0] is key[0] and cached[1:3] == key[1:]:
+            return self._auto_mode
+        tri_inst = np.asarray(scene.tri_inst)
+        n_inst = int(np.asarray(scene.inst_prim).shape[0])
+        largest = int(np.bincount(tri_inst, minlength=1).max())
+        self._auto_mode = (
+            "bvh2"
+            if n_inst >= 2 and largest <= self.config.bvh2_blas_max_tris
+            else "binned"
+        )
+        self._auto_mode_for = key
+        return self._auto_mode
+
+    def _unified_accel(self):
+        """Unified world BVH driven by the AsState rebuild/refit heuristic
+        (acceleration_structure/mod.rs:94-148):
+
+          - a fresh scene (load_scene / first build) -> SLOW_BUILD: native
+            binned-SAH quality topology, built once at load like the
+            reference's initial AS build; optimal=True, so a static scene
+            never rebuilds again;
+          - instance spawn/despawn or mesh add/remove -> topology change ->
+            FAST_BUILD: device LBVH re-sort (no host stall, the
+            arena/deferred-build analog);
+          - transform-only churn (animation) -> UPDATE: keep the cached
+            topology; node boxes are refit in-jit from the live world
+            geometry by make_tracer every frame. At most
+            MAX_UPDATES_BEFORE_REBUILD (8) updates between rebuilds;
+          - after FRAMES_TO_SETTLE (16) quiet frames a SLOW_BUILD settles
+            back to SAH quality.
+
+        The SAH and LBVH topologies have different (jit-static) leaf
+        counts, so at most two frame programs exist per scene capacity;
+        jax.jit keeps both cached.
+        """
+        scene = self.scene
+        cfg = self.config
+        if self._manager is not None:
+            # Topology signal: mesh registry generation + the padded
+            # triangle capacity + the instance key multiset (spawn/despawn
+            # = a TLAS-rebuild-class change in the reference, tlas.rs).
+            topo = (
+                "mgr",
+                self._manager._generation,
+                int(scene.num_tris),
+                tuple(k for k, _ in (self._instances or [])),
+            )
+            geom = b"".join(
+                np.asarray(t, np.float32).tobytes()
+                for _, t in (self._instances or [])
+            )
+        else:
+            # Directly-loaded scenes: the held scene object is the only
+            # signal; any new object is a fresh-scene build. Holding the
+            # object (not id()) prevents stale-id aliasing.
+            topo = ("obj", scene, int(scene.num_tris))
+            geom = None
+
+        have = isinstance(self._accel_for, tuple) and self._accel_for[0] == "bvh"
+        prev_topo = self._accel_for[1] if have else None
+        prev_geom = self._accel_for[2] if have else None
+
+        def same_topo(a, b):
+            if a is None or b is None or a[0] != b[0] or a[2:] != b[2:]:
+                return False
+            return a[1] is b[1] if a[0] == "obj" else a[1] == b[1]
+
+        topology_changed = not same_topo(topo, prev_topo)
+        geometry_changed = (not topology_changed) and geom != prev_geom
+
+        if not have or (topology_changed and topo[0] == "obj"):
+            op = SLOW_BUILD
+            self._as_state = AsState()
+        else:
+            op = self._as_state.next_op(geometry_changed, topology_changed)
+
+        if op == SLOW_BUILD:
             from sunray_tpu.native import build_sah_bvh
 
-            tris = self.scene.world_triangle_vertices()
-            self._accel = build_sah_bvh(
+            tris = scene.world_triangle_vertices()
+            accel = build_sah_bvh(
                 np.asarray(tris[0]), np.asarray(tris[1]), np.asarray(tris[2]),
                 leaf_size=cfg.bvh_leaf_size,
             )
-            self._accel_for = self.scene
+            if accel is None:
+                # Native toolchain unavailable: the LBVH is the best
+                # quality build we have; still counts as settled.
+                accel = self._lbvh_build(tris)
+            self._accel = accel
+        elif op == FAST_BUILD:
+            self._accel = self._lbvh_build(scene.world_triangle_vertices())
+        # UPDATE / "none": keep the cached topology — make_tracer refits
+        # the boxes in-jit from the live world geometry every frame.
+
+        self._as_state.mark(op, topology_changed or geometry_changed)
+        self._accel_for = ("bvh", topo, geom)
+        self.last_accel_op = op
         return self._accel
+
+    def _lbvh_build(self, tris):
+        """Device-side Morton re-sort LBVH (the FAST_BUILD op) — jitted
+        once per (shape, leaf_size); no host round-trip for the geometry."""
+        from sunray_tpu.ops.bvh import build_bvh
+
+        leaf = self.config.bvh_leaf_size
+        if self._lbvh_jit is None or self._lbvh_leaf != leaf:
+            self._lbvh_jit = jax.jit(partial(build_bvh, leaf_size=leaf))
+            self._lbvh_leaf = leaf
+        return self._lbvh_jit(tris)
 
     def _sync_scene_flags(self):
         """Auto-set jit-static flags that depend on the concrete scene

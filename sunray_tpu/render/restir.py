@@ -224,7 +224,8 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
 
 
 def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
-                   mode="banded", radius=3, grid=None, grid_halo=0):
+                   mode="banded", radius=3, grid=None, grid_halo=0,
+                   valid=None, shift_global=True):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -260,7 +261,9 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
         ext = exchange_flat(packed, grid_halo, grid)
         rows, in_band = gather_flat_ext(ext, idx, grid_halo, grid)
     elif band > 0 and width > 0 and mode == "shift":
-        rows, in_band = shift_row_gather(packed, idx, width, radius, radius)
+        rows, in_band = shift_row_gather(packed, idx, width, radius, radius,
+                                         valid=valid,
+                                         global_motion=shift_global)
     elif band > 0 and width > 0:
         rows, in_band = banded_row_gather(packed, idx, width, band, halo,
                                           layout=layout)
@@ -299,10 +302,11 @@ def gather_reservoir_gi(r: ReservoirGI, idx) -> ReservoirGI:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def _gather_reservoir_banded(r, idx, width, cfg, grid=None):
+def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
     """History gather for temporal reuse: banded or shift-select per
     cfg.history_gather_mode when history_gather_band > 0 (TPU hot path),
     plain otherwise; halo-exchanged under a shard grid (parallel/halo.py).
+    valid: reprojection in-bounds mask (shift mode's mean-motion hint).
     Returns (reservoir, validity-mask-or-None)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
     out, in_band = _gather_packed(
@@ -310,6 +314,7 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None):
         cfg.history_gather_layout, cfg.history_gather_mode,
         cfg.history_shift_radius,
         grid=grid, grid_halo=(grid.halo_t if grid is not None else 0),
+        valid=valid, shift_global=cfg.history_shift_global,
     )
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
@@ -329,7 +334,8 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
 
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid)
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
+                                          valid=ok)
     if in_band is not None:
         ok = ok & in_band
     h = h.replace(
@@ -375,7 +381,8 @@ def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
     in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
     ok = enable & prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid)
+    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
+                                          valid=ok)
     if in_band is not None:
         ok = ok & in_band
 

@@ -122,7 +122,8 @@ def test_shift_gather_matches_plain_within_radius():
     src_x = np.clip(dst_x + dx, 0, w - 1)   # includes row-edge clamps
     idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
 
-    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True)
+    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True,
+                                global_motion=False)
     np.testing.assert_array_equal(np.asarray(ok), True)
     np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
 
@@ -140,12 +141,78 @@ def test_shift_gather_flags_outside_radius():
     src_x = rng.integers(0, w, size=h * w)
     idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
 
-    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True)
+    rows, ok = shift_row_gather(table, idx, w, ry, rx, force=True,
+                                global_motion=False)
     ok = np.asarray(ok)
     expect = (np.abs(src_y - dst_y) <= ry) & (np.abs(src_x - dst_x) <= rx)
     np.testing.assert_array_equal(ok, expect)
     np.testing.assert_allclose(np.asarray(rows)[ok], np.asarray(table[idx])[ok])
     assert 0.05 < ok.mean() < 0.95
+
+
+def test_shift_gather_global_motion_handles_fast_pan():
+    """A uniform pan FAR beyond the residual radius stays exact: the mean
+    motion is compensated by one dynamic roll, residual jitter rides the
+    select neighborhood."""
+    rng = np.random.default_rng(7)
+    h, w, c = 40, 32, 5
+    from sunray_tpu.ops.banded import shift_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    # Pan of (+9, -7) px/frame with zero-mean alternating +-1 jitter.
+    jit_y = np.where(np.arange(h * w) % 2 == 0, 1, -1)
+    jit_x = np.where(np.arange(h * w) // 2 % 2 == 0, 1, -1)
+    src_y = dst_y + 9 + jit_y
+    src_x = dst_x - 7 + jit_x
+    inside = (src_y >= 0) & (src_y < h) & (src_x >= 0) & (src_x < w)
+    idx = jnp.asarray(
+        (np.clip(src_y, 0, h - 1) * w + np.clip(src_x, 0, w - 1)).astype(
+            np.int32
+        )
+    )
+
+    rows, ok = shift_row_gather(table, idx, w, 1, 1, force=True,
+                                valid=jnp.asarray(inside))
+    ok = np.asarray(ok)
+    # Every in-image lane is exact; the r=1 window would reject ALL of
+    # them without compensation (pan >> radius).
+    assert ok[inside].all()
+    np.testing.assert_allclose(
+        np.asarray(rows)[ok], np.asarray(table[idx])[ok]
+    )
+    without, ok0 = shift_row_gather(table, idx, w, 1, 1, force=True,
+                                    global_motion=False)
+    assert not np.asarray(ok0)[inside].any()
+
+
+def test_shift_gather_global_motion_static_is_exact():
+    """Static camera (jitter-only deltas): compensation must not disturb
+    the r=1 exactness."""
+    rng = np.random.default_rng(8)
+    h, w, c = 24, 16, 4
+    from sunray_tpu.ops.banded import shift_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    jit_y = np.where(np.arange(h * w) % 2 == 0, 1, -1)
+    jit_x = np.where(np.arange(h * w) // 2 % 2 == 0, 1, -1)
+    src_y = np.clip(dst_y + jit_y, 0, h - 1)
+    src_x = np.clip(dst_x + jit_x, 0, w - 1)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = shift_row_gather(table, idx, w, 1, 1, force=True)
+    # Edge clamps can push a lane's delta to 0/2 px; interior lanes all ok.
+    interior = (
+        (dst_y > 1) & (dst_y < h - 2) & (dst_x > 1) & (dst_x < w - 2)
+    )
+    assert np.asarray(ok)[interior].all()
+    np.testing.assert_allclose(
+        np.asarray(rows)[np.asarray(ok)],
+        np.asarray(table[idx])[np.asarray(ok)],
+    )
 
 
 def test_bilinear_shift_mode_matches_reference():
