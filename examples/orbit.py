@@ -38,7 +38,15 @@ def main():
     ap.add_argument("--frames", type=int, default=72)
     ap.add_argument("--size", default="320x240")
     ap.add_argument("--out", default="out/orbit")
+    ap.add_argument("--no-save", action="store_true",
+                    help="skip PNG writes (pure render+overlay loop — the "
+                         "honest interactive frame-time measurement; PNG "
+                         "encode is host-side and not part of the frame)")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     w, h = (int(x) for x in args.size.split("x"))
 
     cfg = RenderConfig(width=w, height=h, lighting="restir")
@@ -75,8 +83,11 @@ def main():
         img = stats_overlay(
             ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], scale=1
         )
-        write_png(os.path.join(args.out, f"frame_{frame:04d}.png"),
-                  np.asarray(img))
+        if not args.no_save:
+            write_png(os.path.join(args.out, f"frame_{frame:04d}.png"),
+                      np.asarray(img))
+        else:
+            np.asarray(img)  # host sync: count the present-readback cost
         if frame % 12 == 0:
             print(f"frame {frame:4d}  fps {fps:6.2f}")
 

@@ -86,7 +86,13 @@ def main():
     ap.add_argument("--out",
                     default="docs/renders/parity_reflectionroom_1600x1200.png")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (script validation; the "
+                         "committed artifact renders on the real TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     w, h = (int(x) for x in args.size.split("x"))
 
     report = {"setup": {

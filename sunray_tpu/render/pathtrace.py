@@ -21,6 +21,8 @@ instead (the ray_gen_final.slang:328-382 branch) and phase B is skipped.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -327,6 +329,37 @@ def _shift_flat(x, dx, dy, h, w):
     return rolled.reshape(x.shape)
 
 
+def _pack_i32(fields):
+    """Pack (P,) / (P, n) fields into ONE (P, C) int32 matrix (floats ride
+    bitcast — integer ops are bit-exact data movement, immune to the TPU
+    denormal flush that corrupts int-bitcast data on float datapaths; see
+    ops/banded.shift_row_gather). Returns (packed, spec) for _unpack_i32."""
+    cols, spec = [], []
+    for f in fields:
+        is_int = jnp.issubdtype(f.dtype, jnp.integer)
+        g = f if is_int else jax.lax.bitcast_convert_type(f, jnp.int32)
+        if g.ndim == 1:
+            cols.append(g[:, None])
+            spec.append((is_int, 1))
+        else:
+            cols.append(g)
+            spec.append((is_int, g.shape[1]))
+    return jnp.concatenate(cols, axis=1), spec
+
+
+def _unpack_i32(rows, spec):
+    out, o = [], 0
+    for is_int, n in spec:
+        g = rows[:, o:o + n]
+        if n == 1:
+            g = g[:, 0]
+        if not is_int:
+            g = jax.lax.bitcast_convert_type(g, jnp.float32)
+        out.append(g)
+        o += n
+    return out
+
+
 def _shared_taps(cfg, frame_count, count, radius, salt):
     """Per-iteration shared disc offsets (cfg.spatial_taps == 'shared'):
     the same area-uniform disc distribution as the reference's per-pixel
@@ -426,26 +459,63 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             ok = ok & in_halo
         return nr, nd, ok
 
-    def shared_neighbor(dx, dy, reservoir_x, gnormal_s, gdepth_s):
-        """Shift-based neighbor fetch: (reservoir', gdepth', ok_geom).
-        Under a grid the inputs are halo-extended and the shift is a
-        dynamic row slice + lane roll of the local window."""
-        nx = px + dx
-        ny = py + dy
-        inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
-        if grid is not None:
-            shift = lambda f: shift_flat_ext(f, dx, dy, hs, grid)
-        else:
-            shift = lambda f: _shift_flat(f, dx, dy, h, w)
-        nn = shift(gnormal_s)
-        nd = shift(gdepth_s)
-        ok = (
-            inb
-            & (dot(normal, nn) >= 0.9)
-            & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
-        )
-        nr = jax.tree_util.tree_map(shift, reservoir_x)
-        return nr, nd, ok, nx, ny
+    def make_shared_fetch(reservoir_x, gnormal_s, gdepth_s):
+        """Build the shared-tap neighbor fetch for one reuse phase:
+        fetch(dx, dy) -> (reservoir', gdepth', ok_geom, nx, ny).
+
+        Default: per-leaf two-axis dynamic rolls — XLA fuses the small
+        rolls into the merge math well. SUNRAY_TPU_PACKED_TAPS=1 (read at
+        trace time) instead packs the reservoir leaves + normal + depth
+        ONCE into a (P, C) int32 matrix and does ONE flat roll by dy*w+dx
+        per tap; measured same-session on v5e 1080p it LOSES 7 ms/frame
+        (217.5 vs 210.4 ms — the wide pack/roll copies cost more than the
+        many small fused rolls), images equal to 4.6e-6, so it stays
+        opt-in for future toolchains. Flat-roll wraparound (row-crossing
+        x, top/bottom y) only reaches lanes whose source pixel is
+        off-screen, which `inb` masks. Under a grid the shift is the
+        halo-window row slice + lane roll per leaf
+        (parallel/halo.shift_flat_ext), unchanged."""
+        packed_ok = os.environ.get("SUNRAY_TPU_PACKED_TAPS", "0") == "1"
+        if grid is None and packed_ok:
+            leaves, treedef = jax.tree_util.tree_flatten(reservoir_x)
+            packed, spec = _pack_i32(leaves + [gnormal_s, gdepth_s])
+
+            def fetch(dx, dy):
+                nx = px + dx
+                ny = py + dy
+                inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
+                rolled = jnp.roll(packed, -(dy * w + dx), axis=0)
+                out = _unpack_i32(rolled, spec)
+                nn, nd = out[-2], out[-1]
+                ok = (
+                    inb
+                    & (dot(normal, nn) >= 0.9)
+                    & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
+                )
+                nr = jax.tree_util.tree_unflatten(treedef, out[:-2])
+                return nr, nd, ok, nx, ny
+
+            return fetch
+
+        def fetch(dx, dy):
+            nx = px + dx
+            ny = py + dy
+            inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
+            if grid is not None:
+                shift = lambda f: shift_flat_ext(f, dx, dy, hs, grid)
+            else:
+                shift = lambda f: _shift_flat(f, dx, dy, h, w)
+            nn = shift(gnormal_s)
+            nd = shift(gdepth_s)
+            ok = (
+                inb
+                & (dot(normal, nn) >= 0.9)
+                & (jnp.abs(current_depth - nd) <= 0.1 * current_depth)
+            )
+            nr = jax.tree_util.tree_map(shift, reservoir_x)
+            return nr, nd, ok, nx, ny
+
+        return fetch
 
     # ---- DI spatial (ray_gen_final.slang:139-222) ----
     spatial = restir.ReservoirDI.empty(p)
@@ -467,16 +537,20 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         if shared else None
     )
 
+    di_fetch = (
+        make_shared_fetch(
+            r_di_x if grid is not None else r_di,
+            gnormal_x if grid is not None else gnormal,
+            gdepth_x if grid is not None else gdepth,
+        )
+        if shared else None
+    )
+
     def di_body(carry, k):
         seed, spatial = carry
         if shared:
             dx, dy = di_taps[k]
-            nr, _, ok, _, _ = shared_neighbor(
-                dx, dy,
-                r_di_x if grid is not None else r_di,
-                gnormal_x if grid is not None else gnormal,
-                gdepth_x if grid is not None else gdepth,
-            )
+            nr, _, ok, _, _ = di_fetch(dx, dy)
         else:
             seed, ua, ur = rng_mod.rnd2(seed)
             angle = ua * 2.0 * PI
@@ -538,16 +612,20 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         if shared else None
     )
 
+    gi_fetch = (
+        make_shared_fetch(
+            r_gi_x if grid is not None else r_gi,
+            gnormal_x if grid is not None else gnormal,
+            gdepth_x if grid is not None else gdepth,
+        )
+        if shared else None
+    )
+
     def gi_body(carry, k):
         seed, combined = carry
         if shared:
             dx, dy = gi_taps[k]
-            nr, n_depth, ok, nx, ny = shared_neighbor(
-                dx, dy,
-                r_gi_x if grid is not None else r_gi,
-                gnormal_x if grid is not None else gnormal,
-                gdepth_x if grid is not None else gdepth,
-            )
+            nr, n_depth, ok, nx, ny = gi_fetch(dx, dy)
         else:
             seed, ua, ur = rng_mod.rnd2(seed)
             angle = ua * 2.0 * PI
