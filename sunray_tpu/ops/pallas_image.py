@@ -56,40 +56,50 @@ def _luma(rgb):
     return 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
 
 
-def _atrous_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, *, step, h, w,
-                   block, cw):
+def _atrous_kernel(ca_ref, cb_ref, cc_ref, cd_ref,
+                   ga_ref, gb_ref, gc_ref, gd_ref, out_ref, *, step, halo,
+                   h, w, block, cw):
     """One output tile: image rows [i*block, +block) x cols [j*cw, +cw).
 
+    Color (3 planes) and guide (8 planes: depth, normal x3, diffuse x3,
+    bypass) arrive as SEPARATE arrays so the pass-invariant guide is
+    padded once per frame while only the 3 color planes re-pad per pass.
     a=main tile, b=bottom hr-row strip, c=right wr-col strip, d=corner of
-    the padded planes (image starts at padded row/col 2*step); their
-    tile-aligned stitching covers the tile's +/-2*step tap window (the
-    strips over-cover: hr,wr >= 4*step).
+    the padded planes (image starts at padded row/col `halo`); their
+    tile-aligned stitching covers the tile's +/-2*step tap window. The
+    geometry (halo/strips) is sized for the chain's LARGEST step so every
+    pass shares it (halo = 2*s_max >= 2*step; strips hr,wr >= 4*s_max).
     """
     s = step
-    halo = 2 * s
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    wins = [
-        jnp.concatenate(
-            [
-                jnp.concatenate([a_ref[ch], c_ref[ch]], axis=1),
-                jnp.concatenate([b_ref[ch], d_ref[ch]], axis=1),
-            ],
-            axis=0,
-        )
-        for ch in range(10)
-    ]
+    def stitch(a, b, c, d, nch):
+        return [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([a[ch], c[ch]], axis=1),
+                    jnp.concatenate([b[ch], d[ch]], axis=1),
+                ],
+                axis=0,
+            )
+            for ch in range(nch)
+        ]
 
-    def tap(dy, dx):
+    wins_c = stitch(ca_ref, cb_ref, cc_ref, cd_ref, 3)
+    wins_g = stitch(ga_ref, gb_ref, gc_ref, gd_ref, 8)
+
+    def tap(wins, dy, dx):
         r0 = halo + dy * s
         c0 = halo + dx * s
         return [wn[r0 : r0 + block, c0 : c0 + cw] for wn in wins]
 
-    ctr = tap(0, 0)
-    c_depth = ctr[3]
-    c_nrm = ctr[4:7]
-    c_dif = [jnp.maximum(d, 0.001) for d in ctr[7:10]]
+    ctr = tap(wins_c, 0, 0)
+    ctr_g = tap(wins_g, 0, 0)
+    c_depth = ctr_g[0]
+    c_nrm = ctr_g[1:4]
+    c_dif = [jnp.maximum(d, 0.001) for d in ctr_g[4:7]]
+    bypass = ctr_g[7] > 0.5
     c_il = [ctr[k] / c_dif[k] for k in range(3)]
     c_luma = _luma(c_il)
 
@@ -104,10 +114,11 @@ def _atrous_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, *, step, h, w,
         for dx in range(-2, 3):
             if dy == 0 and dx == 0:
                 continue
-            t = tap(dy, dx)
-            s_depth = t[3]
-            s_nrm = t[4:7]
-            s_dif = t[7:10]
+            t = tap(wins_c, dy, dx)
+            tg = tap(wins_g, dy, dx)
+            s_depth = tg[0]
+            s_nrm = tg[1:4]
+            s_dif = tg[4:7]
             s_il = [t[k] / jnp.maximum(s_dif[k], 0.001) for k in range(3)]
             s_luma = _luma(s_il)
             # center diffuse clamped, neighbor raw — matches the jnp pass.
@@ -137,47 +148,69 @@ def _atrous_kernel(a_ref, b_ref, c_ref, d_ref, out_ref, *, step, h, w,
             wsum = wsum + wgt
 
     inv = 1.0 / jnp.maximum(wsum, 1e-4)
+    # Bypass (sky / smooth) pixels pass the input color through unchanged
+    # — the select runs in-kernel so the wrapper never materializes a
+    # full-image where() per pass.
     for k in range(3):
-        out_ref[k] = acc[k] * inv * c_dif[k]
+        out_ref[k] = jnp.where(bypass, ctr[k], acc[k] * inv * c_dif[k])
 
 
-def _atrous_pass_pallas(planes, step, h, w):
-    """One a-trous pass. planes: (10, h, w) f32 -> (3, h, w) denoised illum
-    re-modulated (no bypass select — the caller applies it)."""
-    s = step
-    halo = 2 * s
-    hs = 4 * s                         # tap-window halo thickness
+def _atrous_geometry(s_max, h, w):
+    """Tile geometry shared by every pass of a chain, sized for its
+    LARGEST step: the pass-invariant guide planes pad once per frame.
+    Returns (halo, hr, wr, block, cw, grid_r, grid_c, rows, cols)."""
+    halo = 2 * s_max
+    hs = 4 * s_max                     # tap-window halo thickness
     hr = -(-hs // 8) * 8               # bottom strip rows (sublane tile)
     wr = -(-hs // LANE) * LANE         # right strip cols (lane tile)
     block = -(-max(32, hs) // hr) * hr     # rows per tile; hr | block
-    cw = min(1024, -(-w // LANE) * LANE)   # cols per tile; wr | cw
+    # 512-col tiles: 11 planes (3 color + 8 guide) x 4 views at 1024 cols
+    # ran the scoped-VMEM stack to 16.98 MB (limit 16 MB) on v5e.
+    cw = min(512, -(-w // LANE) * LANE)    # cols per tile; wr | cw
     cw = -(-cw // wr) * wr                 # enforce wr | cw (step >= 64 on
                                            # narrow images would floor mc)
     grid_r = -(-h // block)
     grid_c = -(-w // cw)
     rows = grid_r * block + hr
     cols = grid_c * cw + wr
-    # Image sits at (row, col) offset `halo` inside the zero-padded planes.
-    padded = jnp.pad(
+    return halo, hr, wr, block, cw, grid_r, grid_c, rows, cols
+
+
+def _pad_planes(planes, geom, h, w):
+    """Zero-pad (C, h, w) planes into the chain geometry: image at
+    (row, col) offset `halo`, total (C, rows, cols)."""
+    halo, _, _, _, _, _, _, rows, cols = geom
+    return jnp.pad(
         planes, ((0, 0), (halo, rows - h - halo), (halo, cols - w - halo))
     )
+
+
+def _atrous_pass_pallas(cpad, gpad, step, geom, h, w):
+    """One a-trous pass. cpad: (3, rows, cols) padded color; gpad:
+    (8, rows, cols) padded guide (pass-invariant) -> (3, h-tiled, w-tiled)
+    denoised re-modulated color with the bypass select applied."""
+    halo, hr, wr, block, cw, grid_r, grid_c, _, _ = geom
     mb = block // hr                   # block rows, in bottom-strip units
     mc = cw // wr
-    out = pl.pallas_call(
-        functools.partial(_atrous_kernel, step=s, h=h, w=w, block=block,
-                          cw=cw),
-        grid=(grid_r, grid_c),
-        in_specs=[
-            pl.BlockSpec((10, block, cw), lambda i, j: (0, i, j),
+
+    def specs(nch):
+        return [
+            pl.BlockSpec((nch, block, cw), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, hr, cw), lambda i, j: (0, (i + 1) * mb, j),
+            pl.BlockSpec((nch, hr, cw), lambda i, j: (0, (i + 1) * mb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, block, wr), lambda i, j: (0, i, (j + 1) * mc),
+            pl.BlockSpec((nch, block, wr), lambda i, j: (0, i, (j + 1) * mc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, hr, wr),
+            pl.BlockSpec((nch, hr, wr),
                          lambda i, j: (0, (i + 1) * mb, (j + 1) * mc),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+
+    out = pl.pallas_call(
+        functools.partial(_atrous_kernel, step=step, halo=halo, h=h, w=w,
+                          block=block, cw=cw),
+        grid=(grid_r, grid_c),
+        in_specs=specs(3) + specs(8),
         out_specs=pl.BlockSpec((3, block, cw), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, grid_r * block, grid_c * cw),
@@ -186,22 +219,25 @@ def _atrous_pass_pallas(planes, step, h, w):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=_interpret(),
-    )(padded, padded, padded, padded)
-    return out[:, :h, :w]
+    )(cpad, cpad, cpad, cpad, gpad, gpad, gpad, gpad)
+    return out
 
 
 def _atrous_forward(color, depth, normal, roughness, diffuse, passes):
     h, w = color.shape[:2]
-    bypass = ((depth >= 10000.0) | (roughness < 0.1))[None]   # (1, h, w)
+    geom = _atrous_geometry(1 << (passes - 1), h, w)
+    bypass = ((depth >= 10000.0) | (roughness < 0.1)).astype(jnp.float32)
     guide = jnp.concatenate(
-        [depth[None], normal.transpose(2, 0, 1), diffuse.transpose(2, 0, 1)],
+        [depth[None], normal.transpose(2, 0, 1), diffuse.transpose(2, 0, 1),
+         bypass[None]],
         axis=0,
-    )                                                          # (7, h, w)
+    )                                                          # (8, h, w)
+    gpad = _pad_planes(guide, geom, h, w)
     cp = color.transpose(2, 0, 1)
     for i in range(passes):
-        planes = jnp.concatenate([cp, guide], axis=0)
-        out = _atrous_pass_pallas(planes, 1 << i, h, w)
-        cp = jnp.where(bypass, cp, out)
+        cpad = _pad_planes(cp, geom, h, w)
+        out = _atrous_pass_pallas(cpad, gpad, 1 << i, geom, h, w)
+        cp = out[:, :h, :w]
     return cp.transpose(1, 2, 0)
 
 

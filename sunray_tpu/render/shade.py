@@ -18,7 +18,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sunray_tpu.ops.linalg import gather_cols, gather_vec
+from sunray_tpu.ops.linalg import (
+    SELECT_GATHER_MAX_ROWS,
+    gather_cols,
+    gather_vec,
+)
 
 from sunray_tpu.ops.brdf import normalize, safe_sqrt, vec_norm
 from sunray_tpu.ops.texture import sample_texture
@@ -77,19 +81,30 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     Misses produce valid=False with dist=-1 (ray_miss.slang:9-13 sentinel).
     """
     tri = jnp.where(hit.hit, hit.tri, 0)
-    # Per-triangle indices ride one packed row gather (vidx + instance id).
+    # Per-triangle indices ride one packed row gather (vidx + instance id)
+    # — or, when the table fits a select chain (<= 128 rows), compare+
+    # select columns: the device profile showed each 2M-lane row gather
+    # costing ~2.5 ms even on a VMEM-sized table (the TPU gather emitter
+    # serializes row gathers regardless of table size; the per-op charge
+    # notes are in ops/linalg.gather_cols and docs/PERFORMANCE.md).
     tpack = jnp.concatenate(
         [scene.tri_vidx, scene.tri_inst[:, None]], axis=1
     )                                                            # (T, 4)
-    trow = tpack[tri]                                            # (N, 4)
-    vidx = trow[:, 0:3]                                          # (N, 3)
-    inst = trow[:, 3]                                            # (N,)
+    if tpack.shape[0] <= SELECT_GATHER_MAX_ROWS:
+        tcols = gather_cols(tpack, tri)                          # 4 x (N,)
+        vidx_k = tcols[0:3]
+        inst = tcols[3]
+    else:
+        trow = tpack[tri]                                        # (N, 4)
+        vidx_k = (trow[:, 0], trow[:, 1], trow[:, 2])
+        inst = trow[:, 3]
     prim = gather_vec(scene.inst_prim, inst)                     # (N,)
 
     # All per-vertex attributes ride THREE packed row gathers (one per
-    # triangle corner) instead of ~60 scalar gathers — the TPU gather
-    # cost is dominated by a per-op charge (see ops/linalg.gather_vec and
-    # docs/PERFORMANCE.md). Packed layout per vertex row:
+    # triangle corner) instead of ~60 scalar gathers; small scenes
+    # (<= 128 vertices — the Cornell/benchmark class) take the select-
+    # chain path instead, which removed 9 x ~2.5 ms of serialized row
+    # gathers from the 1080p frame. Packed layout per vertex row:
     # [position(3), normal(3), tangent(4), uvs(5x2)] = 20 columns.
     nverts = scene.positions.shape[0]
     vpack = jnp.concatenate(
@@ -101,7 +116,14 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
         ],
         axis=1,
     )
-    rows = [vpack[vidx[:, k]] for k in range(3)]     # 3 x (N, 20)
+    ncols = vpack.shape[1]
+    if nverts <= SELECT_GATHER_MAX_ROWS:
+        corners = [gather_cols(vpack, vidx_k[k]) for k in range(3)]
+    else:
+        corners = [
+            tuple(r[:, c] for c in range(ncols))
+            for r in (vpack[vidx_k[k]] for k in range(3))
+        ]                                         # 3 corners x 20 columns
 
     # Recompute (t, u, v) differentiably from the winning triangle: the
     # tracer's winner index is discrete (and its Pallas kernels have no AD
@@ -120,34 +142,41 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # are padding-free.
     xf = gather_cols(scene.inst_transform.reshape(-1, 12), inst)  # 12 x (N,)
 
-    def to_world(p):
-        # Rows of the (3, 4) object->world transform live at xf[4i..4i+3].
+    def to_world(c3):
+        # Rows of the (3, 4) object->world transform live at xf[4i..4i+3];
+        # c3 is a tuple of 3 position columns.
         return jnp.stack(
             [
-                xf[4 * i + 0] * p[:, 0]
-                + xf[4 * i + 1] * p[:, 1]
-                + xf[4 * i + 2] * p[:, 2]
+                xf[4 * i + 0] * c3[0]
+                + xf[4 * i + 1] * c3[1]
+                + xf[4 * i + 2] * c3[2]
                 + xf[4 * i + 3]
                 for i in range(3)
             ],
             axis=-1,
         )
 
-    w0, w1, w2 = (to_world(r[:, 0:3]) for r in rows)
+    w0, w1, w2 = (to_world(c[0:3]) for c in corners)
     t_d, u_d, v_d = _recompute_hit(orig, d, w0, w1, w2)
     t_att = jnp.where(hit.hit, t_d, hit.t)
     u = jnp.where(hit.hit, u_d, hit.u)
     v = jnp.where(hit.hit, v_d, hit.v)
-    b = [(1.0 - u - v)[:, None], u[:, None], v[:, None]]
+    bw = [1.0 - u - v, u, v]                         # (N,) bary weights
 
     # Vertex attribute decode + barycentric interpolation
-    # (closest_hit.slang:31-37, rt_utils.slang:136-147).
-    n_obj = sum(bk * r[:, 3:6] for bk, r in zip(b, rows))        # (N, 3)
-    tangent_obj = sum(bk * r[:, 6:9] for bk, r in zip(b, rows))  # (N, 3)
-    handedness = jnp.where(rows[0][:, 9] >= 0.0, 1.0, -1.0)  # vertex 0 only
-    uv_all = sum(bk * r[:, 10:20] for bk, r in zip(b, rows))     # (N, 10)
-    uv = uv_all[:, 2 * TEX_BASE_COLOR : 2 * TEX_BASE_COLOR + 2]
-    normal_uv = uv_all[:, 2 * TEX_NORMAL : 2 * TEX_NORMAL + 2]
+    # (closest_hit.slang:31-37, rt_utils.slang:136-147) — per column, so
+    # only the columns actually consumed are interpolated (6 of the 10 uv
+    # columns are unused texture slots).
+    def interp(o):
+        return sum(bw[k] * corners[k][o] for k in range(3))
+
+    n_obj = jnp.stack([interp(3 + i) for i in range(3)], axis=-1)
+    tangent_obj = jnp.stack([interp(6 + i) for i in range(3)], axis=-1)
+    handedness = jnp.where(corners[0][9] >= 0.0, 1.0, -1.0)  # vertex 0 only
+    ub = 10 + 2 * TEX_BASE_COLOR
+    un = 10 + 2 * TEX_NORMAL
+    uv = jnp.stack([interp(ub), interp(ub + 1)], axis=-1)
+    normal_uv = jnp.stack([interp(un), interp(un + 1)], axis=-1)
 
     # Materials (MeshInfo analog).
     mats = scene.materials
