@@ -89,7 +89,7 @@ def main():
         else:
             np.asarray(img)  # host sync: count the present-readback cost
         if frame % 12 == 0:
-            print(f"frame {frame:4d}  fps {fps:6.2f}")
+            print(f"frame {frame:4d}  fps {fps:6.2f}", flush=True)
 
     print(f"wrote {args.frames} frames to {args.out}/")
 
