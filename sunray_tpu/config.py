@@ -62,6 +62,10 @@ class RenderConfig:
     # ReSTIR GI (Ouyang 2021 variant, constants from the reference shaders)
     gi_temporal_m_clamp: float = 12.0
     gi_temporal_w_clamp: float = 10.0
+    # Spatial-neighbor M clamp (ray_gen_final.slang:251 uses the same 10.0
+    # literal as the DI temporal clamp; a separate knob so tuning either
+    # doesn't silently cross-couple DI and GI reuse).
+    gi_spatial_m_clamp: float = 10.0
     gi_spatial_samples: int = 3
     gi_spatial_radius: float = 20.0
     gi_spatial_w_clamp: float = 20.0
@@ -168,25 +172,40 @@ class RenderConfig:
     # examples/mem_audit.py); A/B against "rows" on real TPU before
     # defaulting.
     history_gather_layout: str = "rows"
-    # "banded": VMEM-windowed dynamic gathers (above). "shift" (default):
-    # no gather at all — one compare+select per offset in a (2r+1)^2
-    # neighborhood over flat-rolled tables (ops/banded.shift_row_gather),
-    # with global-motion compensation (one dynamic roll by the mean
+    # "banded": VMEM-windowed dynamic gathers (above). "shift": no gather
+    # at all — one compare+select per offset in a (2r+1)^2 neighborhood
+    # over flat-rolled tables (ops/banded.shift_row_gather), with
+    # global-motion compensation (one dynamic roll by the mean
     # reprojection offset) so arbitrary-speed pans/yaws keep history;
     # per-pixel deviation from the mean motion beyond `shift_radius` px
     # (strong rotation falloff, parallax) is rejected like off-screen
-    # history — the same divergence class as banded's 16-row halo, in
-    # both axes. Static cameras are BIT-identical to banded/plain gathers
+    # history. Static cameras are BIT-identical to banded/plain gathers
     # and 8.5% faster at 1080p (242.8 -> 222.2 ms same-session,
     # 2026-08-19; the selection pipeline runs on an int32-bitcast view,
-    # see shift_row_gather's denormal note).
-    history_gather_mode: str = "shift"
+    # see shift_row_gather's denormal note). "auto" (default): one
+    # lax.cond per history read on the measured fraction of lanes whose
+    # residual motion fits the shift radius — static/panning frames take
+    # the fast shift branch, rotation/parallax beyond the radius takes
+    # banded, so the default no longer depends on the benchmark camera
+    # being static (measured mode divergences under orbit/yaw/truck
+    # motion: examples/ab_history_motion.py, docs/PARITY.md).
+    history_gather_mode: str = "auto"
     history_shift_radius: int = 1
+    # "auto" falls back to banded when the predicted shift-history
+    # retention (fraction of on-screen lanes within the radius of the
+    # mean motion) would drop below this.
+    history_auto_min_retention: float = 0.98
     # Shift mode: compensate uniform camera motion with one dynamic roll
     # by the mean reprojection offset (ops/banded.shift_row_gather) so
     # arbitrary-speed pans keep history; residual deviation beyond the
     # radius is still rejected.
     history_shift_global: bool = True
+    # Backend-gate override for the banded/shift history reads: None (the
+    # default) keeps the TPU-only gate (plain gathers on CPU — exact and
+    # fast there); True forces the TPU execution strategy on any backend so
+    # its history-validity behavior can be measured/tested on CPU
+    # (examples/ab_history_motion.py); False forces plain gathers.
+    history_gather_force: "bool | None" = None
 
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete

@@ -55,7 +55,7 @@ class AsState:
             return FAST_BUILD
         if not self.optimal and self.quiet_frames >= FRAMES_TO_SETTLE:
             return SLOW_BUILD
-        return UPDATE if False else "none"
+        return "none"
 
     def mark(self, op: str, changed: bool) -> None:
         """Record what happened this frame (mod.rs:122-148)."""

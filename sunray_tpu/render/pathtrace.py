@@ -639,7 +639,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         ok = ok & (nr.W > 0.0)
         nr = nr.replace(
             W=jnp.minimum(nr.W, cfg.gi_temporal_w_clamp),
-            M=jnp.minimum(nr.M, cfg.di_temporal_m_clamp),
+            M=jnp.minimum(nr.M, cfg.gi_spatial_m_clamp),
         )
 
         # Reconstruct neighbor's primary point x1 (ray_gen_final.slang:253-258).

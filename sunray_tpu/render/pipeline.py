@@ -106,6 +106,8 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             history_mode=cfg.history_gather_mode,
             history_radius=cfg.history_shift_radius,
             history_shift_global=cfg.history_shift_global,
+            history_force=cfg.history_gather_force,
+            history_auto_min_retention=cfg.history_auto_min_retention,
             kernel=cfg.taa_kernel,
         )
     else:

@@ -14,7 +14,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sunray_tpu.ops.banded import banded_row_gather, shift_row_gather
+from sunray_tpu.ops.banded import (
+    auto_row_gather,
+    banded_row_gather,
+    shift_row_gather,
+)
 from sunray_tpu.ops.brdf import vec_norm
 
 # Plain floats: a module-level jnp.asarray would initialize the backend at
@@ -72,7 +76,8 @@ def bilinear_sample(img, uv):
 
 
 def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
-                           mode="banded", radius=3, shift_global=True):
+                           mode="banded", radius=3, shift_global=True,
+                           auto_min_retention=0.98):
     """Bilinear history fetch as ONE banded 12-column row gather.
 
     The four corner taps of `bilinear_sample` are packed into a
@@ -100,7 +105,15 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
     fx = (px - bx)[..., None]
     fy = (py - by)[..., None]
     idx = (by * w + bx).reshape(-1)
-    if mode == "shift":
+    if mode == "auto":
+        on_screen = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1).reshape(-1)
+        rows, ok = auto_row_gather(
+            packed.reshape(h * w, 4 * c), idx, w, band, halo, radius=radius,
+            min_retention=auto_min_retention, force=force,
+            valid=on_screen, global_motion=shift_global,
+        )
+        layout = "rows"
+    elif mode == "shift":
         on_screen = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1).reshape(-1)
         rows, ok = shift_row_gather(
             packed.reshape(h * w, 4 * c), idx, w, radius, radius, force=force,
@@ -198,6 +211,7 @@ def temporal_accumulate(raw, motion, history, frame_count,
                         history_band=0, history_halo=0,
                         history_layout="rows", history_mode="banded",
                         history_radius=3, history_shift_global=True,
+                        history_force=None, history_auto_min_retention=0.98,
                         grid=None, kernel="jnp"):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
@@ -233,7 +247,8 @@ def temporal_accumulate(raw, motion, history, frame_count,
         hist, valid = bilinear_sample_banded(
             history, prev_uv, history_band, history_halo,
             layout=history_layout, mode=history_mode, radius=history_radius,
-            shift_global=history_shift_global,
+            shift_global=history_shift_global, force=history_force,
+            auto_min_retention=history_auto_min_retention,
         )
     else:
         hist = bilinear_sample(history, prev_uv)

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from sunray_tpu.ops import rng as rng_mod
-from sunray_tpu.ops.banded import banded_row_gather, shift_row_gather
+from sunray_tpu.ops.banded import (
+    auto_row_gather,
+    banded_row_gather,
+    shift_row_gather,
+)
 from sunray_tpu.ops.linalg import gather_vec
 from sunray_tpu.ops.brdf import (
     eval_unshadowed_light,
@@ -225,7 +229,8 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
 
 def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
                    mode="banded", radius=3, grid=None, grid_halo=0,
-                   valid=None, shift_global=True):
+                   valid=None, shift_global=True, force=None,
+                   auto_min_retention=0.98):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -260,20 +265,28 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
 
         ext = exchange_flat(packed, grid_halo, grid)
         rows, in_band = gather_flat_ext(ext, idx, grid_halo, grid)
+    elif band > 0 and width > 0 and mode == "auto":
+        rows, in_band = auto_row_gather(packed, idx, width, band, halo,
+                                        radius=radius,
+                                        min_retention=auto_min_retention,
+                                        valid=valid,
+                                        global_motion=shift_global,
+                                        force=force)
     elif band > 0 and width > 0 and mode == "shift":
         rows, in_band = shift_row_gather(packed, idx, width, radius, radius,
                                          valid=valid,
-                                         global_motion=shift_global)
+                                         global_motion=shift_global,
+                                         force=force)
     elif band > 0 and width > 0:
         rows, in_band = banded_row_gather(packed, idx, width, band, halo,
-                                          layout=layout)
+                                          layout=layout, force=force)
     else:
         rows = packed[idx]                            # one gather
         in_band = None
     out = []
     o = 0
     for is_int, n in spec:
-        if (layout == "out_t" and band > 0 and width > 0 and mode != "shift"
+        if (layout == "out_t" and band > 0 and width > 0 and mode == "banded"
                 and grid is None):
             # rows is (C, P): per-component slices are lane-major 1-D.
             g = rows[o] if n == 1 else rows[o : o + n].T
@@ -315,6 +328,8 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
         cfg.history_shift_radius,
         grid=grid, grid_halo=(grid.halo_t if grid is not None else 0),
         valid=valid, shift_global=cfg.history_shift_global,
+        force=cfg.history_gather_force,
+        auto_min_retention=cfg.history_auto_min_retention,
     )
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 

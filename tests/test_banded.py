@@ -235,3 +235,73 @@ def test_bilinear_shift_mode_matches_reference():
     np.testing.assert_array_equal(np.asarray(valid), True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_auto_gather_takes_shift_branch_on_small_motion():
+    """Within-radius motion: auto must be exact everywhere (shift branch),
+    with an all-True mask."""
+    rng = np.random.default_rng(8)
+    h, w, c = 24, 16, 5
+    from sunray_tpu.ops.banded import auto_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    dy = rng.integers(-1, 2, size=h * w)
+    dx = rng.integers(-1, 2, size=h * w)
+    src_y = np.clip(dst_y + dy, 0, h - 1)
+    src_x = np.clip(dst_x + dx, 0, w - 1)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = auto_row_gather(table, idx, w, band=4, halo=6, radius=1,
+                               force=True, global_motion=False)
+    np.testing.assert_array_equal(np.asarray(ok), True)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
+
+
+def test_auto_gather_falls_back_to_banded_on_rotation():
+    """Per-lane offsets far beyond the shift radius but inside the banded
+    halo: auto must take the banded branch and stay exact (shift would
+    have dropped most lanes)."""
+    rng = np.random.default_rng(9)
+    h, w, c = 40, 16, 4
+    band, halo = 4, 6
+    from sunray_tpu.ops.banded import auto_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    # "Rotation-like" motion: zero-mean but +/-halo spread vertically,
+    # full-width horizontally — retention under radius 1 is tiny.
+    dy = rng.integers(-halo, halo + 1, size=h * w)
+    src_y = np.clip(dst_y + dy, 0, h - 1)
+    src_x = rng.integers(0, w, size=h * w)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = auto_row_gather(table, idx, w, band=band, halo=halo, radius=1,
+                               force=True, global_motion=True)
+    np.testing.assert_array_equal(np.asarray(ok), True)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
+
+
+def test_auto_gather_jits_with_cond():
+    """The auto gather must stay jittable (scalar-predicate lax.cond) and
+    produce branch-consistent results under jit."""
+    rng = np.random.default_rng(10)
+    h, w, c = 16, 8, 3
+    from sunray_tpu.ops.banded import auto_row_gather
+    from functools import partial
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    idx_small = jnp.arange(h * w, dtype=jnp.int32)          # static
+    src = rng.integers(0, h * w, size=h * w)                # scrambled
+    idx_big = jnp.asarray(src.astype(np.int32))
+
+    f = jax.jit(partial(auto_row_gather, band=4, halo=4, radius=1,
+                        force=True), static_argnames=("width",))
+    rows, ok = f(table, idx_small, width=w)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table))
+    rows, ok = f(table, idx_big, width=w)
+    served = np.asarray(ok)
+    np.testing.assert_allclose(
+        np.asarray(rows)[served], np.asarray(table[idx_big])[served]
+    )
