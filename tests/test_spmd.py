@@ -126,6 +126,36 @@ def test_spmd_perpixel_taps():
     _assert_close_frames(ref, got, rtol=2e-5, atol=2e-5)
 
 
+def test_spmd_realistic_shard_height():
+    """Shard heights matching a real 1080p/8 pod (544 rows / 8 shards =
+    68 rows/shard) with the REFERENCE reuse radii: DI disc 30 px, GI disc
+    20 px, 4 a-trous passes (16-row reach), TAA/temporal halo 16. Every
+    cross-pixel reach must fit inside one shard's row band (single-hop
+    ppermute) and the spmd frame must match the single-device frame.
+    Round-2 VERDICT item 5 — the tiny 8-rows/shard dryrun left the halo
+    path unvalidated at radii that exceed the shard height."""
+    cfg = _cfg(
+        width=256, height=544,
+        di_spatial_samples=5, di_spatial_radius=30.0,
+        gi_spatial_samples=3, gi_spatial_radius=20.0,
+        denoise_passes=4,
+    )
+    hl = cfg.height // 8
+    halo_s = int(max(cfg.di_spatial_radius, cfg.gi_spatial_radius)) + 1
+    atrous_reach = 2 * (1 << (cfg.denoise_passes - 1))
+    halo_t = cfg.history_gather_halo
+    # The halo >= radius invariants at real radii (and single-hop room).
+    assert halo_s > cfg.di_spatial_radius >= cfg.gi_spatial_radius
+    assert hl >= max(halo_s, halo_t, atrous_reach, 1), (
+        f"shard height {hl} below a halo reach "
+        f"(spatial {halo_s}, temporal {halo_t}, a-trous {atrous_reach})"
+    )
+    cams = [CAM] * 2
+    ref = _run_frames(cfg, cams, spmd=False)
+    got = _run_frames(cfg, cams, spmd=True)
+    _assert_close_frames(ref, got, rtol=2e-5, atol=2e-5)
+
+
 def test_exchange_rows_roundtrip():
     """exchange_rows returns exactly the neighboring shards' rows (multi-
     hop halo wider than the local band) with zero/edge fill at the image
