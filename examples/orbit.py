@@ -18,6 +18,7 @@ except ImportError:  # imported as examples.* (repo root already on path)
 
 
 import argparse
+import json
 import os
 import time
 
@@ -42,6 +43,10 @@ def main():
                     help="skip PNG writes (pure render+overlay loop — the "
                          "honest interactive frame-time measurement; PNG "
                          "encode is host-side and not part of the frame)")
+    ap.add_argument("--save-every", type=int, default=1,
+                    help="write every Nth frame (keeps the PNG-encode "
+                         "host cost out of most frames while still "
+                         "producing artifact images)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -58,6 +63,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     fps = 0.0
+    frame_ms = []          # per-frame walltime (render + overlay + present)
+    churn_frames = []      # frames where the instance list changed
     t_prev = time.time()
     for frame in range(args.frames):
         angle = 2.0 * np.pi * frame / args.frames
@@ -72,26 +79,61 @@ def main():
                 key=lambda kt: r._manager._meshes[kt[0]].tri_vidx.shape[0],
             )[0]
             instances.append((smallest, translate(0.0, -0.8, 0.0)))
+        if frame in (24, 48):
+            churn_frames.append(frame)
 
         ldr = r.render(cam, instances=instances)
-
-        t_now = time.time()
-        inst_fps = 1.0 / max(t_now - t_prev, 1e-6)
-        fps = inst_fps if fps == 0 else 0.9 * fps + 0.1 * inst_fps
-        t_prev = t_now
 
         img = stats_overlay(
             ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], scale=1
         )
-        if not args.no_save:
-            write_png(os.path.join(args.out, f"frame_{frame:04d}.png"),
-                      np.asarray(img))
-        else:
-            np.asarray(img)  # host sync: count the present-readback cost
+        host = np.asarray(img)  # present-readback: part of the frame cost
+
+        t_now = time.time()
+        dt = t_now - t_prev
+        inst_fps = 1.0 / max(dt, 1e-6)
+        fps = inst_fps if fps == 0 else 0.9 * fps + 0.1 * inst_fps
+        t_prev = t_now
+        frame_ms.append(dt * 1e3)
+
+        if not args.no_save and frame % max(args.save_every, 1) == 0:
+            write_png(os.path.join(args.out, f"frame_{frame:04d}.png"), host)
+            t_prev = time.time()  # PNG encode is host-side, not frame cost
         if frame % 12 == 0:
             print(f"frame {frame:4d}  fps {fps:6.2f}", flush=True)
 
-    print(f"wrote {args.frames} frames to {args.out}/")
+    # Frame 0 carries the jit compile; steady-state excludes it.
+    steady = frame_ms[1:]
+    churn_ms = [frame_ms[f] for f in churn_frames]
+    stats = {
+        "resolution": args.size,
+        "frames": args.frames,
+        "device": None,
+        "compile_frame_ms": round(frame_ms[0], 1),
+        "steady_mean_ms": round(float(np.mean(steady)), 1),
+        "steady_p50_ms": round(float(np.median(steady)), 1),
+        "steady_max_ms": round(float(np.max(steady)), 1),
+        "steady_fps": round(1e3 / float(np.mean(steady)), 2),
+        "churn_frames": churn_frames,
+        "churn_frame_ms": [round(m, 1) for m in churn_ms],
+        # No recompile on churn: a recompile would cost ~compile_frame_ms;
+        # the spawn/despawn frames must stay within ~3x the steady median
+        # (capacity-padded buffers keep shapes stable; scene/manager.py).
+        "no_recompile_on_churn": bool(
+            all(m < max(10 * float(np.median(steady)),
+                        0.05 * frame_ms[0]) for m in churn_ms)
+        ),
+    }
+    try:
+        import jax
+
+        stats["device"] = str(jax.devices()[0])
+    except Exception:
+        pass
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats))
+    print(f"wrote frames + stats.json to {args.out}/")
 
 
 if __name__ == "__main__":

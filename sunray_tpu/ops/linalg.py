@@ -26,8 +26,22 @@ def einsum32(subscripts, *operands):
 # rows; beyond that compile size grows linearly, so cap conservatively.
 SELECT_GATHER_MAX_ROWS = 128
 
+# Opt-in small-table gather strategy for FUSION-HOT call sites on TPU:
+# "onehot" = Pallas one-hot MXU matmul (ops/pallas_gather.py); "select" =
+# per-row compare+select chains. The chains fuse into every consumer and
+# get recomputed per fusion — 29.4 ms/frame of VPU selects in the 1080p
+# shade pass alone (round-3 device profile). But converting EVERY small
+# gather regressed the frame 170.8 -> 266.5 ms (measured): tiny tables
+# (2-8 rows) and walk-loop interiors want chains (they fuse; a kernel
+# launch per loop round pays HBM roundtrips). So call sites opt in via
+# gather_cols(mode=SMALL_GATHER_MODE) where the profile says chains burn
+# VPU; env SUNRAY_GATHER_SMALL=select restores chains everywhere for A/Bs.
+import os as _os
 
-def gather_cols(table, idx, force_select=None):
+SMALL_GATHER_MODE = _os.environ.get("SUNRAY_GATHER_SMALL", "onehot")
+
+
+def gather_cols(table, idx, force_select=None, mode=None):
     """Gather rows of a small-component (K, C) table by index, returning a
     TUPLE of C independent (N,)-shaped columns — the trailing dim never
     exists, so nothing can tile-pad.
@@ -54,6 +68,16 @@ def gather_cols(table, idx, force_select=None):
     # TPU-specific); on CPU they just bloat compile time.
     use_select = (jax.default_backend() == "tpu"
                   if force_select is None else force_select)
+    if (
+        mode == "onehot"
+        and force_select is None
+        and jax.default_backend() == "tpu"
+        and 0 < k
+    ):
+        from sunray_tpu.ops.pallas_gather import MAX_ROWS, onehot_gather_cols
+
+        if k <= MAX_ROWS:
+            return onehot_gather_cols(flat, idx)
     if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
         # Seed with row 0 and select rows 1..K-1 (one select fewer per
         # column). Out-of-range indices therefore yield row 0 here, while

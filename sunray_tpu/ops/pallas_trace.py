@@ -28,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 from sunray_tpu.ops import intersect
 
 BLOCK_RAYS = 2048      # lanes per kernel invocation (multiple of 128)
-TRI_TILE = 64          # triangles per grid step (sublanes, multiple of 8)
+TRI_TILE = 64          # max triangles per grid step (sublanes, mult of 8).
+                       # Small scenes shrink the tile to ceil8(n_tris): a
+                       # 36-tri Cornell padded to 64 sublanes wasted 44%
+                       # of the intersection VPU work (round-3 profile:
+                       # the 10 trace kernels were 31 ms of the 169 ms
+                       # frame before this).
 DET_EPS = intersect.DET_EPS
 
 
@@ -36,10 +41,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_tris(tris):
+def _tri_tile(n_tris: int) -> int:
+    return min(TRI_TILE, max(8, -(-n_tris // 8) * 8))
+
+
+def _pad_tris(tris, tile):
     v0, v1, v2 = tris
     t = v0.shape[0]
-    tp = -(-t // TRI_TILE) * TRI_TILE
+    tp = -(-t // tile) * tile
     if tp != t:
         pad = ((0, tp - t), (0, 0))
         v0 = jnp.pad(v0, pad)
@@ -107,7 +116,7 @@ def _closest_kernel(o_ref, d_ref, v0_ref, v1_ref, v2_ref, tn_ref, tx_ref,
     d3 = (d_ref[0, :], d_ref[1, :], d_ref[2, :])
     tt, uu, vv, valid, tri_ids = _tile_hits(
         o3, d3, v0_ref[...], v1_ref[...], v2_ref[...],
-        tn_ref[0, :], tx_ref[0, :], n_tris, ti * TRI_TILE,
+        tn_ref[0, :], tx_ref[0, :], n_tris, ti * v0_ref.shape[0],
     )
     k = jnp.argmin(tt, axis=0)
     sel = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0) == k[None, :]
@@ -137,7 +146,7 @@ def _occluded_kernel(o_ref, d_ref, v0_ref, v1_ref, v2_ref, tn_ref, tx_ref,
     d3 = (d_ref[0, :], d_ref[1, :], d_ref[2, :])
     _, _, _, valid, tri_ids = _tile_hits(
         o3, d3, v0_ref[...], v1_ref[...], v2_ref[...],
-        tn_ref[0, :], tx_ref[0, :], n_tris, ti * TRI_TILE,
+        tn_ref[0, :], tx_ref[0, :], n_tris, ti * v0_ref.shape[0],
     )
     if use_exclude:
         valid = valid & (
@@ -164,12 +173,12 @@ def _prep_rays(orig, d, tmin, tmax):
     return o_t, d_t, tn, tx, n, nb
 
 
-def _specs(nb, tiles, tp, w):
+def _specs(nb, tiles, tp, w, tile=TRI_TILE):
     ray_spec = pl.BlockSpec((3, BLOCK_RAYS), lambda i, t: (0, i),
                             memory_space=pltpu.VMEM)
     scal_spec = pl.BlockSpec((1, BLOCK_RAYS), lambda i, t: (0, i),
                              memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((TRI_TILE, 3), lambda i, t: (t, 0),
+    tri_spec = pl.BlockSpec((tile, 3), lambda i, t: (t, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, BLOCK_RAYS), lambda i, t: (0, i),
                             memory_space=pltpu.VMEM)
@@ -179,10 +188,12 @@ def _specs(nb, tiles, tp, w):
 def trace_closest_pallas(tris, orig, d, tmin=intersect.T_MIN,
                          tmax=intersect.T_MAX) -> intersect.Hit:
     """Closest hit over all triangles, Pallas kernel. tris: each (T, 3)."""
-    (v0, v1, v2), n_tris, tp = _pad_tris(tris)
-    tiles = tp // TRI_TILE
+    tile = _tri_tile(tris[0].shape[0])
+    (v0, v1, v2), n_tris, tp = _pad_tris(tris, tile)
+    tiles = tp // tile
     o_t, d_t, tn, tx, n, nb = _prep_rays(orig, d, tmin, tmax)
-    ray_spec, scal_spec, tri_spec, out_spec = _specs(nb, tiles, tp, None)
+    ray_spec, scal_spec, tri_spec, out_spec = _specs(nb, tiles, tp, None,
+                                                     tile)
 
     kernel = functools.partial(_closest_kernel, n_tris=n_tris)
     t_o, tri_o, u_o, v_o = pl.pallas_call(
@@ -216,10 +227,12 @@ def trace_closest_pallas(tris, orig, d, tmin=intersect.T_MIN,
 
 def trace_occluded_pallas(tris, orig, d, tmax, tmin=intersect.T_MIN,
                           exclude=None):
-    (v0, v1, v2), n_tris, tp = _pad_tris(tris)
-    tiles = tp // TRI_TILE
+    tile = _tri_tile(tris[0].shape[0])
+    (v0, v1, v2), n_tris, tp = _pad_tris(tris, tile)
+    tiles = tp // tile
     o_t, d_t, tn, tx, n, nb = _prep_rays(orig, d, tmin, tmax)
-    ray_spec, scal_spec, tri_spec, out_spec = _specs(nb, tiles, tp, None)
+    ray_spec, scal_spec, tri_spec, out_spec = _specs(nb, tiles, tp, None,
+                                                     tile)
 
     use_exclude = exclude is not None
     npad = nb * BLOCK_RAYS - n

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from sunray_tpu.ops.linalg import (
     SELECT_GATHER_MAX_ROWS,
+    SMALL_GATHER_MODE,
     gather_cols,
     gather_vec,
 )
@@ -91,7 +92,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
         [scene.tri_vidx, scene.tri_inst[:, None]], axis=1
     )                                                            # (T, 4)
     if tpack.shape[0] <= SELECT_GATHER_MAX_ROWS:
-        tcols = gather_cols(tpack, tri)                          # 4 x (N,)
+        tcols = gather_cols(tpack, tri, mode=SMALL_GATHER_MODE)  # 4 x (N,)
         vidx_k = tcols[0:3]
         inst = tcols[3]
     else:
@@ -118,7 +119,8 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     )
     ncols = vpack.shape[1]
     if nverts <= SELECT_GATHER_MAX_ROWS:
-        corners = [gather_cols(vpack, vidx_k[k]) for k in range(3)]
+        corners = [gather_cols(vpack, vidx_k[k], mode=SMALL_GATHER_MODE)
+                   for k in range(3)]
     else:
         corners = [
             tuple(r[:, c] for c in range(ncols))
@@ -140,7 +142,8 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # 10.7x tile padding and its column slices at 128x — ~13 GB of walk-loop
     # HBM temps at 1080p (examples/mem_audit.py) — unstacked (N,) columns
     # are padding-free.
-    xf = gather_cols(scene.inst_transform.reshape(-1, 12), inst)  # 12 x (N,)
+    xf = gather_cols(scene.inst_transform.reshape(-1, 12), inst,
+                     mode=SMALL_GATHER_MODE)                     # 12 x (N,)
 
     def to_world(c3):
         # Rows of the (3, 4) object->world transform live at xf[4i..4i+3];
@@ -200,7 +203,8 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     # World normal via inverse-transpose (closest_hit.slang:49-50):
     # world_n = normalize((W2O)^T @ n_obj).
     inv_rot = gather_cols(
-        instance_inverse_rotations(scene.inst_transform).reshape(-1, 9), inst
+        instance_inverse_rotations(scene.inst_transform).reshape(-1, 9), inst,
+        mode=SMALL_GATHER_MODE,
     )                                                            # 9 x (N,)
     # (W2O)^T @ n per pixel, elementwise column contractions (a batched-tiny
     # einsum would lower to 2M micro-matmuls on the MXU; a (N, 3, 3)

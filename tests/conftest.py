@@ -28,6 +28,7 @@ jax.config.update("jax_enable_x64", False)
 # render-path changes).
 SLOW_TESTS = (
     "test_spmd.py::",                       # all SPMD lockstep runs
+    "test_quality.py::",                    # converged-truth quality runs
     "test_sharding.py::TestDryrun",
     "test_antialias.py::test_occluder_silhouette_gradient",
     "test_antialias.py::test_camera_x_silhouette_gradient",

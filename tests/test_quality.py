@@ -1,0 +1,196 @@
+"""Converged-ground-truth quality bounds for the five BASELINE configs
+(VERDICT round-2 item 7).
+
+Replaces "matches my own golden" with "within X of converged truth": for
+each BASELINE.json config (examples/eval_configs.py, shrunk to 128x72),
+the checked-in ground truth is the mean RAW HDR estimator output over
+many frames of the reference-exact estimator (per-pixel spatial taps,
+ray_gen_final.slang:164-167 semantics — the ab_spatial_taps.py
+methodology). The test runs the config as shipped for a few frames and
+asserts:
+
+  - relmse_raw: relMSE of the measured-frames mean raw vs converged truth
+    (estimator bias + residual variance);
+  - psnr_ldr: tonemapped final-frame LDR PSNR vs the tonemapped truth
+    (end-to-end, including TAA/denoise where the config enables them).
+
+Bounds were measured on CPU (same backend as CI) and set with ~2x relMSE
+/ -2 dB headroom; numbers in docs/PARITY.md. Regenerate the truths with:
+
+    python tests/test_quality.py --regen          (forces CPU)
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+GT_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+SIZE = (128, 72)         # width, height — 1/15th of 1080p
+GT_FRAMES = 96
+GT_WARMUP = 8
+RUN_FRAMES = 8
+RUN_WARMUP = 4
+
+# name -> (bound on relmse_raw, lower bound on psnr_ldr [dB]).
+# Measured on CPU at regen time (2026-08-20, docs/PARITY.md table):
+#   1: relmse 0.353 psnr 14.50   (1 spp, no TAA/denoise — variance pin)
+#   2: relmse 0.021 psnr 16.32
+#   3: relmse 0.077 psnr 28.46   (4 spp + TAA + denoise)
+#   4: relmse 0.142 psnr 24.87   (restir raw, accumulation off-test)
+#   5: relmse 0.142 psnr 27.11   (full pipeline)
+# Bounds ~2x relMSE / -2.5 dB headroom for seed/backend drift.
+BOUNDS = {
+    "1_cornell_1spp_nodenoise": (0.70, 12.0),
+    "2_gltf_direct_bvh": (0.05, 13.8),
+    "3_multimesh_restir_4spp": (0.16, 25.9),
+    "4_progressive_64f_1080p": (0.30, 22.4),
+    "5_full_pipeline": (0.30, 24.6),
+}
+
+GLB = "/root/reference/examples/assets/ReflectionRoom.glb"
+
+
+def _cases():
+    from sunray_tpu.camera import Camera
+    from sunray_tpu.config import RenderConfig
+    from sunray_tpu.scene import cornell_box, reflection_room
+
+    w, h = SIZE
+    cornell_cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0),
+                         fov_y=45.0)
+    room_cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                      fov_y=45.0)
+    cases = {
+        "1_cornell_1spp_nodenoise": (
+            "cornell", cornell_cam,
+            RenderConfig(width=w, height=h, lighting="nee",
+                         denoise_passes=0, enable_taa=False),
+        ),
+        "3_multimesh_restir_4spp": (
+            "reflroom_proc",
+            Camera(position=(2.0, 2.2, 9.0), target=(2.0, 1.6, 0.0),
+                   fov_y=50.0),
+            RenderConfig(width=w, height=h, lighting="restir", samples=4),
+        ),
+        "4_progressive_64f_1080p": (
+            "cornell", cornell_cam,
+            RenderConfig(width=w, height=h, lighting="restir",
+                         denoise_passes=0),
+        ),
+        "5_full_pipeline": (
+            "cornell", cornell_cam,
+            RenderConfig(width=w, height=h, lighting="restir"),
+        ),
+    }
+    if os.path.exists(GLB):
+        cases["2_gltf_direct_bvh"] = (
+            "glb", room_cam,
+            RenderConfig(width=w, height=h, lighting="nee",
+                         denoise_passes=0, bounces=2),
+        )
+    return cases
+
+
+def _scene(kind):
+    from sunray_tpu.scene import cornell_box, reflection_room
+
+    if kind == "cornell":
+        return cornell_box()
+    if kind == "reflroom_proc":
+        return reflection_room()
+    from sunray_tpu.scene.gltf import load_gltf
+
+    return load_gltf(GLB)
+
+
+def _run(scene, cam, cfg, warmup, frames):
+    """Returns (mean raw HDR over `frames`, final LDR)."""
+    import jax
+
+    from sunray_tpu.camera import camera_matrices
+    from sunray_tpu.render.pipeline import RenderState, render_frame
+
+    mats = camera_matrices(cam, cfg.width, cfg.height)
+    state = RenderState.create(cfg)
+    step = jax.jit(lambda st: render_frame(scene, cfg, st, mats))
+    ldr = None
+    acc = None
+    for _ in range(warmup):
+        state, ldr, aux = step(state)
+    for _ in range(frames):
+        state, ldr, aux = step(state)
+        raw = np.asarray(aux["raw"], np.float64)
+        acc = raw if acc is None else acc + raw
+    return acc / frames, np.asarray(ldr)
+
+
+def rel_mse(a, gt, eps=1e-3):
+    d = (np.asarray(a, np.float64) - gt) ** 2
+    return float(np.mean(d / (gt * gt + eps)))
+
+
+def psnr(a, b, peak=1.0):
+    mse = float(np.mean((np.asarray(a, np.float64) - b) ** 2))
+    return float("inf") if mse == 0 else 10.0 * np.log10(peak * peak / mse)
+
+
+def _gt_path(name):
+    return os.path.join(GT_DIR, f"quality_gt_{name}.npz")
+
+
+def _tonemap_np(raw):
+    import jax.numpy as jnp
+
+    from sunray_tpu.render.postprocess import tonemap
+
+    return np.asarray(tonemap(jnp.asarray(raw, jnp.float32), 1.0, "aces",
+                              2.2))
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_quality_vs_converged_truth(name):
+    cases = _cases()
+    if name not in cases:
+        pytest.skip("reference assets not available")
+    path = _gt_path(name)
+    if not os.path.exists(path):
+        pytest.skip(f"converged truth {name} not generated yet")
+    gt = np.load(path)["gt_raw"].astype(np.float64)
+    kind, cam, cfg = cases[name]
+    mean_raw, ldr = _run(_scene(kind), cam, cfg, RUN_WARMUP, RUN_FRAMES)
+    r = rel_mse(mean_raw, gt)
+    p = psnr(ldr, _tonemap_np(gt))
+    r_max, p_min = BOUNDS[name]
+    assert r < r_max, f"{name}: relMSE vs converged truth {r:.4f} > {r_max}"
+    assert p > p_min, f"{name}: LDR PSNR vs converged truth {p:.2f} < {p_min}"
+
+
+def _regen():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.makedirs(GT_DIR, exist_ok=True)
+    for name, (kind, cam, cfg) in sorted(_cases().items()):
+        # Reference-exact estimator: per-pixel spatial taps, raw output
+        # (pre-TAA/denoise), many-frame mean.
+        gt_cfg = cfg.replace(spatial_taps="perpixel")
+        import time
+
+        t0 = time.time()
+        gt_raw, _ = _run(_scene(kind), cam, gt_cfg, GT_WARMUP, GT_FRAMES)
+        np.savez_compressed(_gt_path(name), gt_raw=gt_raw.astype(np.float32))
+        # Print the shipped config's measured numbers to seed BOUNDS.
+        mean_raw, ldr = _run(_scene(kind), cam, cfg, RUN_WARMUP, RUN_FRAMES)
+        print(f"{name}: gt in {time.time()-t0:.0f} s  "
+              f"relmse_raw={rel_mse(mean_raw, gt_raw):.4f}  "
+              f"psnr_ldr={psnr(ldr, _tonemap_np(gt_raw)):.2f} dB",
+              flush=True)
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        _regen()
+    else:
+        print(__doc__)
