@@ -93,6 +93,17 @@ def main():
                 )
 
             fns[name] = jax.jit(binned_fn)
+        elif name == "binned_reorder":
+            from sunray_tpu.ops import binned_trace as bt
+
+            cs2 = bt.build_cluster_set(tris, k=args.cluster_k)
+
+            def binned_ro_fn(o, d, cs=cs2):
+                return bt.trace_closest_binned(
+                    bt.refit_cluster_set(cs, tris), o, d, reorder=True
+                )
+
+            fns[name] = jax.jit(binned_ro_fn)
 
     for kind in ("camera", "bounce"):
         o, d = make_rays(args.rays, kind)

@@ -56,3 +56,41 @@ def rnd2(seed):
     seed, u1 = rnd(seed)
     seed, u2 = rnd(seed)
     return seed, u1, u2
+
+
+def rnd_chain(seed, n: int):
+    """n consecutive draws AT ONCE, bit-exact with n sequential rnd calls.
+
+    The seed evolution is a value-independent LCG (seed' = A*seed + C mod
+    2^32), so the state after j draws is alpha_j*seed + beta_j with
+    compile-time uint32 constants — every draw of a fixed-length chain can
+    be evaluated in parallel lanes instead of a sequential dependency
+    chain. This is what lets the RIS audition batch its candidates into
+    (P, K) planes that read the surface attributes ONCE
+    (restir.ris_audition; the sequential form re-read them per candidate —
+    the round-3 profile's multiply-reduce wall).
+
+    Returns (new_seed (...,), draws (..., n) float32 in [0, 1])."""
+    a = 747796405
+    c = 2891336453
+    mask = (1 << 32) - 1
+    alphas = []
+    betas = []
+    al, be = 1, 0
+    for _ in range(n):
+        al = (a * al) & mask
+        be = (a * be + c) & mask
+        alphas.append(al)
+        betas.append(be)
+    import numpy as np
+
+    al_v = jnp.asarray(np.asarray(alphas, np.uint32))
+    be_v = jnp.asarray(np.asarray(betas, np.uint32))
+    seed = jnp.asarray(seed, _U32)
+    seeds = seed[..., None] * al_v + be_v              # (..., n) uint32
+    shift = (seeds >> 28) + _U32(4)
+    word = ((seeds >> shift) ^ seeds) * _U32(277803737)
+    result = (word >> 22) ^ word
+    return seeds[..., -1], result.astype(jnp.float32) * jnp.float32(
+        _INV_U32_MAX
+    )

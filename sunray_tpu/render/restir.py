@@ -26,12 +26,14 @@ from sunray_tpu.ops.banded import (
     banded_row_gather,
     shift_row_gather,
 )
-from sunray_tpu.ops.linalg import gather_vec
+from sunray_tpu.ops.linalg import gather_cols, gather_vec
 from sunray_tpu.ops.brdf import (
+    PI,
     eval_unshadowed_light,
     gi_target_pdf,
     luminance_max,
     normalize,
+    safe_sqrt,
     vec_norm,
 )
 
@@ -173,11 +175,148 @@ class Lights:
 
 def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
                  roughness, metallic, candidates: int, enable):
-    """RIS candidate audition (ray_gen_ris.slang:189-231).
+    """RIS candidate audition (ray_gen_ris.slang:189-231), batched.
 
-    Runs `candidates` rounds of weighted reservoir sampling against the
-    unshadowed target. Returns (seed, ReservoirDI) with W resolved.
+    All `candidates` rounds of weighted reservoir sampling run as (P, K)
+    planes: the LCG seed chain is value-independent (rng.rnd_chain), so
+    every draw is known up front, the K light samples and p_hat
+    evaluations become K-wide lanes that read the surface attributes ONCE
+    (the sequential form re-read pos/normal/view/albedo per candidate —
+    measured as the round-3 frame's multiply-reduce wall), and the
+    sequential reservoir update collapses to a running-sum + last-take
+    select. Bit-exact with the K-round sequential reference
+    (_ris_audition_sequential, kept for the equivalence test).
+
+    Returns (seed, ReservoirDI) with W resolved.
     """
+    p = hit_pos.shape[0]
+    k = candidates
+    num_lights = lights.num
+
+    seed, draws = rng_mod.rnd_chain(seed, 4 * k)       # (P, 4K)
+    u_pick = draws[:, 0::4]
+    u1 = draws[:, 1::4]
+    u2 = draws[:, 2::4]
+    u_keep = draws[:, 3::4]
+
+    idx = jnp.minimum(
+        (u_pick * num_lights).astype(jnp.int32), num_lights - 1
+    )                                                   # (P, K)
+
+    # sample_point, planar (component planes — a (P, K, 3) array would
+    # tile-pad its trailing dim; CLAUDE.md memory rule).
+    v0 = gather_cols(lights.v0, idx)                    # 3 x (P, K)
+    v1 = gather_cols(lights.v1, idx)
+    v2 = gather_cols(lights.v2, idx)
+    em = gather_cols(lights.emission, idx)
+    e1 = [v1[a] - v0[a] for a in range(3)]
+    e2 = [v2[a] - v0[a] for a in range(3)]
+    cr = [
+        e1[1] * e2[2] - e1[2] * e2[1],
+        e1[2] * e2[0] - e1[0] * e2[2],
+        e1[0] * e2[1] - e1[1] * e2[0],
+    ]
+    cr_n = safe_sqrt(cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2])
+    area = 0.5 * cr_n
+    nn = jnp.maximum(cr_n, 1e-12)
+    nrm = [cr[a] / nn for a in range(3)]
+    sqr1 = jnp.sqrt(u1)
+    bu = 1.0 - sqr1
+    bv = u2 * sqr1
+    bw = 1.0 - bu - bv
+    pos = [v0[a] * bu + v1[a] * bv + v2[a] * bw for a in range(3)]
+
+    # eval_unshadowed_light, planar; hit attributes broadcast (P, 1).
+    px = [hit_pos[:, a : a + 1] for a in range(3)]
+    nx = [hit_normal[:, a : a + 1] for a in range(3)]
+    vx = [v_view[:, a : a + 1] for a in range(3)]
+    al = [albedo[:, a : a + 1] for a in range(3)]
+    rough = roughness[:, None]
+    metal = metallic[:, None]
+
+    l = [pos[a] - px[a] for a in range(3)]
+    dist = jnp.maximum(
+        safe_sqrt(l[0] * l[0] + l[1] * l[1] + l[2] * l[2]), 1e-4
+    )
+    l = [l[a] / dist for a in range(3)]
+    ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
+    cos_light = jnp.maximum(
+        -(nrm[0] * l[0] + nrm[1] * l[1] + nrm[2] * l[2]), 0.0
+    )
+    lit = (ndl > 0.0) & (cos_light > 0.0)
+    h = [vx[a] + l[a] for a in range(3)]
+    h_n = jnp.maximum(safe_sqrt(h[0] * h[0] + h[1] * h[1] + h[2] * h[2]),
+                      1e-12)
+    h = [h[a] / h_n for a in range(3)]
+    ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
+    vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
+    ndv = jnp.maximum(
+        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
+    )
+    a_r = rough * rough
+    a2 = a_r * a_r
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    d_term = a2 / (PI * denom * denom)
+    ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+    ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+    v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
+    fres5 = (1.0 - vdh) ** 5
+    geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
+    p_hat = None
+    for c in range(3):
+        f0 = 0.04 * (1.0 - metal) + al[c] * metal
+        f = f0 + (1.0 - f0) * fres5
+        specular = d_term * v_term * f
+        diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
+        out_c = em[c] * (diffuse + specular) * geometry
+        out_c = jnp.where(lit, out_c, 0.0)
+        p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
+
+    p_y = 1.0 / jnp.maximum(num_lights * area, 1e-4)
+    wi = jnp.where(enable[:, None], p_hat / p_y, 0.0)   # (P, K)
+
+    # Sequential reservoir chain, unrolled on (P,) slices (adds in the
+    # exact order of the sequential reference — cumsum would reassociate).
+    w_sum = jnp.zeros((p,), jnp.float32)
+    slot = jnp.full((p,), -1, jnp.int32)
+    for i in range(k):
+        wi_i = wi[:, i]
+        w_sum = w_sum + wi_i
+        take = enable & (u_keep[:, i] < wi_i / jnp.maximum(w_sum, 1e-4))
+        slot = jnp.where(take, i, slot)
+    m = jnp.where(enable, float(k), 0.0)
+
+    # Winner extraction: select chain over the K planes (zeros when no
+    # candidate was ever taken — ReservoirDI.empty's values).
+    def pick_plane(plane):
+        val = jnp.zeros((p,), plane.dtype)
+        for i in range(k):
+            val = jnp.where(slot == i, plane[:, i], val)
+        return val
+
+    r = ReservoirDI.empty(p).replace(
+        w_sum=w_sum,
+        M=m,
+        light_idx=pick_plane(idx),
+        light_pos=jnp.stack([pick_plane(pl) for pl in pos], axis=-1),
+        light_normal=jnp.stack([pick_plane(pl) for pl in nrm], axis=-1),
+    )
+
+    # Resolve W for the winner (ray_gen_ris.slang:225-231).
+    p_hat_w, _ = lights.eval_p_hat(
+        r.light_idx, r.light_pos, r.light_normal,
+        hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+    )
+    w = r.w_sum / jnp.maximum(r.M * p_hat_w, 1e-4)
+    r = r.replace(W=jnp.where(enable & (r.w_sum > 0.0), w, 0.0))
+    return seed, r
+
+
+def _ris_audition_sequential(lights: Lights, seed, hit_pos, hit_normal,
+                             v_view, albedo, roughness, metallic,
+                             candidates: int, enable):
+    """The K-round sequential audition (reference form of ris_audition;
+    kept as the bit-exactness oracle — tests/test_restir_math.py)."""
     p = hit_pos.shape[0]
     r = ReservoirDI.empty(p)
     num_lights = lights.num

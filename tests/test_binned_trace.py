@@ -301,3 +301,54 @@ class TestStress:
         ref = intersect.trace_closest_brute(tris, orig, d, tmax=1e30)
         out = bt.trace_closest_binned(cs, orig, d, tmax=jnp.inf)
         np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+
+
+class TestReorder:
+    """Coherence-reorder path (incoherent bounce/GI batches): results must
+    be lane-exact vs the unordered path; the keys must group octants."""
+
+    def test_closest_reorder_matches(self):
+        tris = random_scene(500, seed=31)
+        cs = bt.build_cluster_set(tris, k=64)
+        orig, d = random_rays(700, seed=37)
+        ref = bt.trace_closest_binned(cs, orig, d)
+        out = bt.trace_closest_binned(cs, orig, d, reorder=True)
+        np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+        m = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(out.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_occluded_reorder_matches(self):
+        tris = random_scene(300, seed=41)
+        cs = bt.build_cluster_set(tris, k=64)
+        orig, d = random_rays(600, seed=43)
+        tmax = jnp.full((600,), 3.0)
+        ref = bt.trace_occluded_binned(cs, orig, d, tmax)
+        out = bt.trace_occluded_binned(cs, orig, d, tmax, reorder=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_reorder_with_exclude(self):
+        tris = random_scene(200, seed=47)
+        cs = bt.build_cluster_set(tris, k=64)
+        orig, d = random_rays(256, seed=53)
+        first = bt.trace_closest_binned(cs, orig, d)
+        ex = jnp.where(first.hit, first.tri, -2)
+        ref = bt.trace_closest_binned(cs, orig, d, exclude=ex)
+        out = bt.trace_closest_binned(cs, orig, d, exclude=ex, reorder=True)
+        np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+        m = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(out.t)[m], np.asarray(ref.t)[m],
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_keys_group_octants(self):
+        orig, d = random_rays(512, seed=59)
+        lo = jnp.full((3,), -6.0)
+        hi = jnp.full((3,), 6.0)
+        keys = np.asarray(bt._coherence_keys(orig, d, lo, hi))
+        octant = keys >> 27
+        dn = np.asarray(d)
+        want = (dn[:, 0] >= 0) * 4 + (dn[:, 1] >= 0) * 2 + (dn[:, 2] >= 0)
+        np.testing.assert_array_equal(octant, want)
+        # Sorting by key must sort octants into contiguous runs.
+        srt = octant[np.argsort(keys)]
+        assert (np.diff(srt) >= 0).all()

@@ -2,6 +2,7 @@
 (rt_utils.slang:244-274 merge semantics, ray_gen_ris.slang:189-231 RIS)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sunray_tpu.render import restir
@@ -108,3 +109,55 @@ class TestRisAudition:
         mc = float(jnp.mean(phat_mc / pdf))
         assert ris_estimate > 0.0
         np.testing.assert_allclose(ris_estimate, mc, rtol=0.15)
+
+
+class TestBatchedAuditionExact:
+    """The (P, K)-batched audition must be BIT-exact with the K-round
+    sequential reference (same draws via the closed-form LCG chain, same
+    op order per candidate, same reservoir take chain)."""
+
+    def _attrs(self, p, seed=0):
+        rng = np.random.default_rng(seed)
+        pos = jnp.asarray(rng.uniform(0, 2, (p, 3)), jnp.float32)
+        n = rng.normal(size=(p, 3))
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        v = rng.normal(size=(p, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return (
+            pos, jnp.asarray(n, jnp.float32), jnp.asarray(v, jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(0.05, 1, (p,)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (p,)), jnp.float32),
+        )
+
+    @pytest.mark.parametrize("k", [1, 4, 16])
+    def test_bit_exact_vs_sequential(self, k):
+        p = 4096
+        scene = cornell_box()
+        lights = restir.Lights(scene)
+        pos, n, v, alb, rough, metal = self._attrs(p)
+        seed0 = jnp.asarray(
+            np.random.default_rng(7).integers(0, 2**32, p, dtype=np.uint32)
+        )
+        enable = jnp.asarray(
+            np.random.default_rng(8).random(p) > 0.2
+        )
+        s_a, r_a = restir.ris_audition(
+            lights, seed0, pos, n, v, alb, rough, metal, k, enable
+        )
+        s_b, r_b = restir._ris_audition_sequential(
+            lights, seed0, pos, n, v, alb, rough, metal, k, enable
+        )
+        np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+        for name in ("w_sum", "M", "W", "light_idx"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r_a, name)),
+                np.asarray(getattr(r_b, name)),
+                err_msg=name,
+            )
+        for name in ("light_pos", "light_normal"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r_a, name)),
+                np.asarray(getattr(r_b, name)),
+                err_msg=name,
+            )
