@@ -192,3 +192,79 @@ def gi_target_pdf(shade_pos, shade_normal, albedo, metallic, sample_pos, sample_
     f_diffuse = albedo * (1.0 - metallic[..., None]) / PI
     contrib = sample_radiance * f_diffuse * NdotL[..., None]
     return jnp.max(contrib, axis=-1)
+
+
+def eval_p_hat_planar(px, nx, vx, al, rough, metal, em, lpos, lnrm):
+    """Planar (component-plane) form of eval_unshadowed_light -> p_hat.
+
+    Surface attributes arrive as broadcastable planes (typically (P, 1)):
+    px/nx/vx/al = 3-component lists, rough/metal single planes. Light
+    sample fields are 3-component lists of (P, K) planes. Returns
+    (p_hat (P, K), lit (P, K), f_channels [3 x (P, K)]).
+
+    Bit-exact with eval_unshadowed_light followed by luminance_max on
+    matching lanes (same op order per element; division — not
+    reciprocal-multiply — everywhere the reference divides): the batched
+    RIS audition and spatial reuse fold K candidate/tap evaluations into
+    K-wide lanes so the surface attributes are read ONCE instead of per
+    candidate (rt_utils.slang:203-234; restir.ris_audition).
+    """
+    l = [lpos[a] - px[a] for a in range(3)]
+    dist = jnp.maximum(
+        safe_sqrt(l[0] * l[0] + l[1] * l[1] + l[2] * l[2]), 1e-4
+    )
+    l = [l[a] / dist for a in range(3)]
+    ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
+    cos_light = jnp.maximum(
+        -(lnrm[0] * l[0] + lnrm[1] * l[1] + lnrm[2] * l[2]), 0.0
+    )
+    lit = (ndl > 0.0) & (cos_light > 0.0)
+    h = [vx[a] + l[a] for a in range(3)]
+    h_n = jnp.maximum(
+        safe_sqrt(h[0] * h[0] + h[1] * h[1] + h[2] * h[2]), 1e-12
+    )
+    h = [h[a] / h_n for a in range(3)]
+    ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
+    vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
+    ndv = jnp.maximum(
+        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
+    )
+    a_r = rough * rough
+    a2 = a_r * a_r
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    d_term = a2 / (PI * denom * denom)
+    ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+    ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+    v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
+    fres5 = (1.0 - vdh) ** 5
+    geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
+    p_hat = None
+    fc = []
+    for c in range(3):
+        f0 = 0.04 * (1.0 - metal) + al[c] * metal
+        f = f0 + (1.0 - f0) * fres5
+        specular = d_term * v_term * f
+        diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
+        out_c = em[c] * (diffuse + specular) * geometry
+        out_c = jnp.where(lit, out_c, 0.0)
+        fc.append(out_c)
+        p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
+    return p_hat, lit, fc
+
+
+def gi_target_pdf_planar(px, nx, al, metal, spos, srad):
+    """Planar (P, K) form of gi_target_pdf (rt_utils.slang:255-263):
+    surface attrs as broadcastable planes (px/nx/al 3-lists, metal one
+    plane), sample fields as 3-lists of (P, K) planes. Same op order as
+    the (…, 3) form — see eval_p_hat_planar."""
+    w = [spos[a] - px[a] for a in range(3)]
+    d = jnp.maximum(safe_sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]),
+                    1e-4)
+    w = [w[a] / d for a in range(3)]
+    ndl = jnp.maximum(nx[0] * w[0] + nx[1] * w[1] + nx[2] * w[2], 0.0)
+    p_hat = None
+    for c in range(3):
+        f_diffuse = al[c] * (1.0 - metal) / PI
+        contrib = srad[c] * f_diffuse * ndl
+        p_hat = contrib if p_hat is None else jnp.maximum(p_hat, contrib)
+    return p_hat

@@ -32,12 +32,15 @@ from sunray_tpu.ops.brdf import (
     PI,
     cosine_hemisphere,
     dot,
+    eval_p_hat_planar,
     gi_target_pdf,
+    gi_target_pdf_planar,
     reflect,
     sample_ggx_vndf,
     smith_g1_ggx,
     vec_norm,
 )
+from sunray_tpu.ops.linalg import gather_cols
 from sunray_tpu.ops.loops import bounded_loop
 from sunray_tpu.render import restir
 from sunray_tpu.render.gbuffer import transmissive_bounce
@@ -572,12 +575,79 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
         return seed, spatial
 
-    # Unrolled (static count): fori loop boundaries on TPU materialize the
-    # reservoir carry each iteration and block fusion (~10x slower).
-    carry = (seed, spatial)
-    for k in range(cfg.di_spatial_samples):
-        carry = di_body(carry, k)
-    seed, spatial = carry
+    seq_taps = os.environ.get("SUNRAY_TPU_SEQ_TAPS", "0") == "1"
+    if shared and cfg.di_spatial_samples > 0 and not seq_taps:
+        # Batched shared taps: the T neighbor fetches stack into (P, T)
+        # planes, ONE planar p_hat pass reads the center attributes once
+        # (the per-tap evals re-read them — the multiply-reduce wall, see
+        # restir.ris_audition), and the merge chain runs order-exact on
+        # (P,) slices. Bit-exact with the sequential tap loop
+        # (tests/test_pipeline.py::TestBatchedSpatialTaps).
+        t_n = cfg.di_spatial_samples
+        fetched = [di_fetch(dx, dy) for dx, dy in di_taps]
+        pl = lambda f: jnp.stack(f, axis=1)               # T x (P,) -> (P,T)
+        idx_raw = pl([f[0].light_idx for f in fetched])
+        w_raw = pl([f[0].W for f in fetched])
+        m_raw = pl([f[0].M for f in fetched])
+        okp = pl([f[2] for f in fetched])
+        lpos = [pl([f[0].light_pos[:, a] for f in fetched]) for a in range(3)]
+        lnrm = [pl([f[0].light_normal[:, a] for f in fetched])
+                for a in range(3)]
+        w_cl = jnp.minimum(w_raw, cfg.di_temporal_w_clamp)
+        m_cl = jnp.minimum(m_raw, cfg.di_temporal_m_clamp)
+        use_p = (pending[:, None] & okp & (w_cl > 0.0)
+                 & (idx_raw < num_lights))
+        idx_cl = jnp.minimum(idx_raw, num_lights - 1)
+        em = gather_cols(lights.emission, idx_cl)
+        p_hat_p, _, _ = eval_p_hat_planar(
+            [pos[:, a : a + 1] for a in range(3)],
+            [normal[:, a : a + 1] for a in range(3)],
+            [v_view[:, a : a + 1] for a in range(3)],
+            [albedo[:, a : a + 1] for a in range(3)],
+            rough[:, None], metal[:, None], em, lpos, lnrm,
+        )
+        seed, u_taps = rng_mod.rnd_chain(seed, t_n)
+        w_sum = spatial.w_sum
+        m_acc = spatial.M
+        slot = jnp.full((p,), -1, jnp.int32)
+        for i in range(t_n):
+            use_i = use_p[:, i]
+            m_acc = m_acc + jnp.where(use_i, m_cl[:, i], 0.0)
+            weight = jnp.where(use_i, p_hat_p[:, i] * w_cl[:, i]
+                               * m_cl[:, i], 0.0)
+            w_sum = w_sum + weight
+            take = use_i & (u_taps[:, i]
+                            < weight / jnp.maximum(w_sum, 1e-4))
+            slot = jnp.where(take, i, slot)
+
+        def sel(plane, base):
+            val = base
+            for i in range(t_n):
+                val = jnp.where(slot == i, plane[:, i], val)
+            return val
+
+        spatial = spatial.replace(
+            w_sum=w_sum, M=m_acc,
+            light_idx=sel(idx_cl, spatial.light_idx),
+            light_pos=jnp.stack(
+                [sel(lpos[a], spatial.light_pos[:, a]) for a in range(3)],
+                axis=-1,
+            ),
+            light_normal=jnp.stack(
+                [sel(lnrm[a], spatial.light_normal[:, a]) for a in range(3)],
+                axis=-1,
+            ),
+        )
+    else:
+        # Per-pixel (reference-exact) taps — and, under
+        # SUNRAY_TPU_SEQ_TAPS=1, the sequential shared-tap oracle for the
+        # batched branch's bit-exactness test. Unrolled (static count;
+        # fori boundaries on TPU materialize the carry and block fusion,
+        # ~10x slower).
+        carry = (seed, spatial)
+        for k in range(cfg.di_spatial_samples):
+            carry = di_body(carry, k)
+        seed, spatial = carry
 
     has = pending & (spatial.w_sum > 0.0)
     p_hat_w, f_y_w = lights.eval_p_hat(
@@ -621,20 +691,10 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         if shared else None
     )
 
-    def gi_body(carry, k):
-        seed, combined = carry
-        if shared:
-            dx, dy = gi_taps[k]
-            nr, n_depth, ok, nx, ny = gi_fetch(dx, dy)
-        else:
-            seed, ua, ur = rng_mod.rnd2(seed)
-            angle = ua * 2.0 * PI
-            radius = jnp.sqrt(ur) * cfg.gi_spatial_radius
-            dx = (jnp.cos(angle) * radius).astype(jnp.int32)
-            dy = (jnp.sin(angle) * radius).astype(jnp.int32)
-            nx = px + dx
-            ny = py + dy
-            nr, n_depth, ok = perpixel_neighbor(nx, ny, r_gi)
+    def gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy):
+        """Everything of one GI tap except the merge draw: validity
+        chain, neighbor-x1 jacobian, visibility ray. No rnd consumed —
+        shared by the sequential loop and the batched merge."""
         ok = ok & ~((dx == 0) & (dy == 0))
         ok = ok & (nr.W > 0.0)
         nr = nr.replace(
@@ -691,7 +751,23 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         ok = ok & (dot(normal, gdir) > 0.0)
         occ = trace_occluded(tracer, pos, gdir, d_new, exclude=nr.sample_tri)
         ok = pending & ok & ~occ
+        return nr, ok, jac
 
+    def gi_body(carry, k):
+        seed, combined = carry
+        if shared:
+            dx, dy = gi_taps[k]
+            nr, n_depth, ok, nx, ny = gi_fetch(dx, dy)
+        else:
+            seed, ua, ur = rng_mod.rnd2(seed)
+            angle = ua * 2.0 * PI
+            radius = jnp.sqrt(ur) * cfg.gi_spatial_radius
+            dx = (jnp.cos(angle) * radius).astype(jnp.int32)
+            dy = (jnp.sin(angle) * radius).astype(jnp.int32)
+            nx = px + dx
+            ny = py + dy
+            nr, n_depth, ok = perpixel_neighbor(nx, ny, r_gi)
+        nr, ok, jac = gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy)
         p_hat_n = gi_target_pdf(
             pos, normal, albedo, metal, nr.sample_pos, nr.sample_radiance
         )
@@ -699,10 +775,81 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         combined = restir.merge_gi(combined, nr, p_hat_n, jac, u, ok)
         return seed, combined
 
-    carry = (seed, combined)
-    for k in range(cfg.gi_spatial_samples):
-        carry = gi_body(carry, k)
-    seed, combined = carry
+    if shared and cfg.gi_spatial_samples > 0 and not seq_taps:
+        # Batched shared GI taps: per-tap fetch/jacobian/visibility stay
+        # per-tap (each has its own trace), but the p_hat evaluations and
+        # the merge chain run over (P, T) planes reading the center
+        # attributes once (see the DI branch above; merge_gi order
+        # preserved exactly).
+        t_n = cfg.gi_spatial_samples
+        preps = []
+        for k in range(t_n):
+            dx, dy = gi_taps[k]
+            nr, n_depth, ok, nx, ny = gi_fetch(dx, dy)
+            preps.append(gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy))
+        pl = lambda f: jnp.stack(f, axis=1)
+        spos = [pl([pr[0].sample_pos[:, a] for pr in preps])
+                for a in range(3)]
+        snrm = [pl([pr[0].sample_normal[:, a] for pr in preps])
+                for a in range(3)]
+        srad = [pl([pr[0].sample_radiance[:, a] for pr in preps])
+                for a in range(3)]
+        stri = pl([pr[0].sample_tri for pr in preps])
+        w_p = pl([pr[0].W for pr in preps])
+        m_p = pl([pr[0].M for pr in preps])
+        ok_p = pl([pr[1] for pr in preps])
+        jac_p = pl([pr[2] for pr in preps])
+        p_hat_p = gi_target_pdf_planar(
+            [pos[:, a : a + 1] for a in range(3)],
+            [normal[:, a : a + 1] for a in range(3)],
+            [albedo[:, a : a + 1] for a in range(3)],
+            metal[:, None], spos, srad,
+        )
+        seed, u_taps = rng_mod.rnd_chain(seed, t_n)
+        w_sum = combined.w_sum
+        m_acc = combined.M
+        slot = jnp.full((p,), -1, jnp.int32)
+        for i in range(t_n):
+            ok_i = ok_p[:, i]
+            m_acc = m_acc + jnp.where(ok_i, m_p[:, i], 0.0)
+            weight = jnp.where(
+                ok_i, p_hat_p[:, i] * w_p[:, i] * m_p[:, i] * jac_p[:, i],
+                0.0,
+            )
+            w_sum = w_sum + weight
+            take = ok_i & (u_taps[:, i]
+                           < weight / jnp.maximum(w_sum, 1e-4))
+            slot = jnp.where(take, i, slot)
+
+        def gsel(plane, base):
+            val = base
+            for i in range(t_n):
+                val = jnp.where(slot == i, plane[:, i], val)
+            return val
+
+        combined = combined.replace(
+            w_sum=w_sum, M=m_acc,
+            sample_pos=jnp.stack(
+                [gsel(spos[a], combined.sample_pos[:, a]) for a in range(3)],
+                axis=-1,
+            ),
+            sample_normal=jnp.stack(
+                [gsel(snrm[a], combined.sample_normal[:, a])
+                 for a in range(3)],
+                axis=-1,
+            ),
+            sample_radiance=jnp.stack(
+                [gsel(srad[a], combined.sample_radiance[:, a])
+                 for a in range(3)],
+                axis=-1,
+            ),
+            sample_tri=gsel(stri, combined.sample_tri),
+        )
+    else:
+        carry = (seed, combined)
+        for k in range(cfg.gi_spatial_samples):
+            carry = gi_body(carry, k)
+        seed, combined = carry
 
     p_hat_f = gi_target_pdf(
         pos, normal, albedo, metal, combined.sample_pos, combined.sample_radiance

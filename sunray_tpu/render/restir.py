@@ -29,6 +29,7 @@ from sunray_tpu.ops.banded import (
 from sunray_tpu.ops.linalg import gather_cols, gather_vec
 from sunray_tpu.ops.brdf import (
     PI,
+    eval_p_hat_planar,
     eval_unshadowed_light,
     gi_target_pdf,
     luminance_max,
@@ -231,46 +232,10 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     nx = [hit_normal[:, a : a + 1] for a in range(3)]
     vx = [v_view[:, a : a + 1] for a in range(3)]
     al = [albedo[:, a : a + 1] for a in range(3)]
-    rough = roughness[:, None]
-    metal = metallic[:, None]
-
-    l = [pos[a] - px[a] for a in range(3)]
-    dist = jnp.maximum(
-        safe_sqrt(l[0] * l[0] + l[1] * l[1] + l[2] * l[2]), 1e-4
+    p_hat, _, _ = eval_p_hat_planar(
+        px, nx, vx, al, roughness[:, None], metallic[:, None],
+        em, pos, nrm,
     )
-    l = [l[a] / dist for a in range(3)]
-    ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
-    cos_light = jnp.maximum(
-        -(nrm[0] * l[0] + nrm[1] * l[1] + nrm[2] * l[2]), 0.0
-    )
-    lit = (ndl > 0.0) & (cos_light > 0.0)
-    h = [vx[a] + l[a] for a in range(3)]
-    h_n = jnp.maximum(safe_sqrt(h[0] * h[0] + h[1] * h[1] + h[2] * h[2]),
-                      1e-12)
-    h = [h[a] / h_n for a in range(3)]
-    ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
-    vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
-    ndv = jnp.maximum(
-        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
-    )
-    a_r = rough * rough
-    a2 = a_r * a_r
-    denom = ndh * ndh * (a2 - 1.0) + 1.0
-    d_term = a2 / (PI * denom * denom)
-    ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
-    ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
-    v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
-    fres5 = (1.0 - vdh) ** 5
-    geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
-    p_hat = None
-    for c in range(3):
-        f0 = 0.04 * (1.0 - metal) + al[c] * metal
-        f = f0 + (1.0 - f0) * fres5
-        specular = d_term * v_term * f
-        diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
-        out_c = em[c] * (diffuse + specular) * geometry
-        out_c = jnp.where(lit, out_c, 0.0)
-        p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
 
     p_y = 1.0 / jnp.maximum(num_lights * area, 1e-4)
     wi = jnp.where(enable[:, None], p_hat / p_y, 0.0)   # (P, K)

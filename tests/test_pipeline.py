@@ -270,3 +270,55 @@ class TestPerPixelSpatialTaps:
             ):
                 forced = run()
         np.testing.assert_allclose(forced, plain, rtol=2e-5, atol=2e-6)
+
+
+class TestBatchedSpatialTaps:
+    """The batched shared-tap DI spatial reuse vs the sequential
+    shared-tap merge loop (SUNRAY_TPU_SEQ_TAPS=1 oracle).
+
+    Exact-equality is unattainable across the two program shapes: XLA's
+    codegen may contract a*b+c to fma differently per fusion context, and
+    a last-ulp p_hat difference can flip a reservoir take decision
+    (u < w/w_sum) into a discretely different (but equally valid) sample.
+    The test therefore bounds: almost all pixels at float-noise level, a
+    tiny allowance for amplified take flips, and no drift in the mean."""
+
+    def test_frame_matches_sequential_oracle(self):
+        import os
+
+        import jax
+
+        from sunray_tpu.camera import Camera, camera_matrices
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.render.pipeline import RenderState, render_frame
+        from sunray_tpu.scene import cornell_box
+
+        cfg = RenderConfig(width=96, height=64, lighting="restir",
+                           di_spatial_samples=5)
+        scene = cornell_box()
+        cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0),
+                     fov_y=45.0)
+        mats = camera_matrices(cam, cfg.width, cfg.height)
+
+        outs = {}
+        for flag in ("0", "1"):
+            os.environ["SUNRAY_TPU_SEQ_TAPS"] = flag
+            try:
+                state = RenderState.create(cfg)
+                step = jax.jit(
+                    lambda st, _f=flag: render_frame(scene, cfg, st, mats)
+                )
+                ldr = None
+                for _ in range(4):
+                    state, ldr, aux = step(state)
+                outs[flag] = (np.asarray(ldr), np.asarray(aux["raw"]))
+            finally:
+                os.environ.pop("SUNRAY_TPU_SEQ_TAPS", None)
+        for a, b in zip(outs["0"], outs["1"]):
+            d = np.abs(a - b)
+            noise_level = (d <= 1e-5).mean()
+            assert noise_level > 0.995, (
+                f"{(1 - noise_level) * 100:.2f}% of pixels beyond float "
+                f"noise (take-flip allowance is 0.5%)"
+            )
+            assert abs(float(a.mean()) - float(b.mean())) < 1e-4
