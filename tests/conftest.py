@@ -42,6 +42,7 @@ SLOW_TESTS = (
     "test_pallas_image.py::test_large_step_window",
     "test_pallas_image.py::test_matches_jnp_reference",
     "test_grads.py::TestCameraGrads::test_camera_position_fd",
+    "test_grads.py::TestOcclusionBoundaryEnvelope",
     "test_grads.py::TestVertexGrads::test_light_height_fd",
     "test_grads.py::TestMaterialGrads::test_emission_strength_fd",
     "test_grads.py::TestMaterialGrads::test_base_color_fd",

@@ -141,3 +141,70 @@ class TestVertexGrads:
         fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
         assert fd != 0.0
         np.testing.assert_allclose(g_ad, fd, rtol=0.3)
+
+
+class TestOcclusionBoundaryEnvelope:
+    """Measured FD failure envelope for secondary-bounce visibility
+    (VERDICT r2 item 6): gradients flow through the differentiable
+    hit-attribute recompute (shading terms) and, with edge_antialias,
+    through PRIMARY silhouettes — but occlusion of a shadow ray is a
+    step function with stop_gradient'd discrete inputs, so a shadow
+    boundary sweeping across a receiver produces NO gradient.
+
+    This test pins that gap with numbers (docs/PARITY.md table): a loss
+    over floor pixels only (receiver of the boxes' shadows, the boxes
+    themselves excluded from the mask) under a translation of the box
+    vertices has AD == 0 exactly, while central FD sees the shadow move.
+    If a warped-area/reparameterized boundary estimator ever lands, the
+    AD assertion here must flip from == 0 to matching FD."""
+
+    def test_shadow_boundary_has_no_ad_gradient(self, scene):
+        pos0 = np.asarray(scene.positions)
+        # Occluder verts = everything above the floor that isn't a wall or
+        # the light: the two boxes (y in (0, 1.3), x/z strictly inside).
+        interior = (
+            (pos0[:, 1] > 1e-4) & (pos0[:, 1] < 1.3)
+            & (pos0[:, 0] > 1e-3) & (pos0[:, 0] < 2.0 - 1e-3)
+            & (pos0[:, 2] > 1e-3) & (pos0[:, 2] < 2.0 - 1e-3)
+        )
+        box_verts = np.nonzero(interior)[0]
+        assert box_verts.size >= 24  # both boxes present
+
+        # 48x36 (not the module's 32x24): the shadow edge must actually
+        # cross floor pixel centers within +/-eps for FD to see it.
+        w_l, h_l = 48, 36
+        cfg_l = CFG.replace(width=w_l, height=h_l)
+        cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0),
+                     fov_y=45.0)
+        mats = camera_matrices(cam, w_l, h_l)
+
+        def render(dx):
+            p = jnp.asarray(pos0).at[jnp.asarray(box_verts), 0].add(dx)
+            sc = scene.replace(positions=p)
+            st = RenderState.create(cfg_l)
+            _, ldr, aux = render_frame(sc, cfg_l, st, mats)
+            return ldr, aux
+
+        _, aux0 = jax.jit(lambda: render(0.0))()
+        floor = np.asarray(aux0["normal"])[..., 1] > 0.9   # receiver only
+        assert floor.sum() > 20
+        mask = jnp.asarray(floor[..., None].astype(np.float32))
+
+        def loss(dx):
+            ldr, _ = render(dx)
+            return jnp.sum(ldr * mask) / jnp.sum(mask)
+
+        g_ad = float(jax.jit(jax.grad(loss))(0.0))
+        lj = jax.jit(loss)
+        eps = 2e-2
+        fd = (float(lj(eps)) - float(lj(-eps))) / (2 * eps)
+        # The measured envelope (2026-08-20, 48x36 CPU): FD moves (the
+        # shadow sweeps the floor; +0.67 at eps=2e-2) while AD is zero to
+        # float dust (-7e-15) — the boundary term is entirely absent for
+        # secondary visibility.
+        assert abs(fd) > 0.05, f"shadow FD signal too small: {fd}"
+        assert abs(g_ad) < 1e-6 * abs(fd), (
+            f"AD gradient through a shadow boundary appeared ({g_ad} vs "
+            f"FD {fd}) — did a boundary estimator land? Update the PARITY "
+            "envelope."
+        )
