@@ -74,9 +74,13 @@ def gather_cols(table, idx, force_select=None, mode=None):
         and jax.default_backend() == "tpu"
         and 0 < k
     ):
-        from sunray_tpu.ops.pallas_gather import MAX_ROWS, onehot_gather_cols
+        from sunray_tpu.ops.pallas_gather import (
+            MAX_ROWS,
+            MIN_ROWS,
+            onehot_gather_cols,
+        )
 
-        if k <= MAX_ROWS:
+        if MIN_ROWS <= k <= MAX_ROWS:
             return onehot_gather_cols(flat, idx)
     if use_select and 0 < k <= SELECT_GATHER_MAX_ROWS:
         # Seed with row 0 and select rows 1..K-1 (one select fewer per

@@ -41,6 +41,10 @@ BLOCK = 8192   # indices per grid step (lanes; multiple of 128). The
                # in-VMEM one-hot is (Kp, BLOCK) f32 — 4 MB at Kp=128;
                # tables padded past 256 rows drop to BLOCK/4 to stay
                # under the ~16 MB VMEM budget.
+MIN_ROWS = 16   # below this a select chain is ~free and FUSES into its
+                # consumers — a kernel launch would add an HBM round trip
+                # (the everything-onehot A/B regressed 170.8 -> 266.5 ms
+                # largely on tiny-table and walk-loop gathers).
 MAX_ROWS = 512  # beyond this the MXU pass cost scales linearly; tables
                 # larger than this use bvh-style packed/banded gathers.
 

@@ -36,6 +36,14 @@ def sample_texture(atlas, tex_id, uv, fallback):
     Returns (..., 4).
     """
     is_null = tex_id == NULL_TEXTURE
+    # Textureless scene (TextureAtlas.empty's static 1x1x1 shape): every
+    # lookup is the fallback (or the dummy white texel). Short-circuiting
+    # on the STATIC shape makes the uv interpolation chain dead code, which
+    # lets XLA drop the uv vertex gathers from the shade pass entirely
+    # (render/shade.py splits the vertex pack for exactly this).
+    if atlas.data.shape[:3] == (1, 1, 1):
+        return jnp.where(is_null[..., None], fallback,
+                         jnp.ones_like(fallback))
     tid = jnp.where(is_null, 0, tex_id)
 
     size = atlas.size[tid]                        # (..., 2) (w, h)

@@ -119,8 +119,17 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
     )
     ncols = vpack.shape[1]
     if nverts <= SELECT_GATHER_MAX_ROWS:
-        corners = [gather_cols(vpack, vidx_k[k], mode=SMALL_GATHER_MODE)
-                   for k in range(3)]
+        # Geometry (10 cols) and uv (10 cols) ride SEPARATE gathers so a
+        # textureless scene's dead uv chain (sample_texture's static
+        # trivial-atlas short-circuit) lets XLA drop the uv gather whole —
+        # a single fused gather would haul all 20 columns regardless.
+        vgeo = vpack[:, :10]
+        vuv = vpack[:, 10:]
+        corners = [
+            gather_cols(vgeo, vidx_k[k], mode=SMALL_GATHER_MODE)
+            + gather_cols(vuv, vidx_k[k], mode=SMALL_GATHER_MODE)
+            for k in range(3)
+        ]
     else:
         corners = [
             tuple(r[:, c] for c in range(ncols))
