@@ -426,6 +426,13 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
     valid: reprojection in-bounds mask (shift mode's mean-motion hint).
     Returns (reservoir, validity-mask-or-None)."""
     leaves, treedef = jax.tree_util.tree_flatten(r)
+    # w_sum (leaf 1 in both reservoir dataclasses' field order) is the
+    # merge DESTINATION's accumulator — never read from gathered history
+    # (merge_di/merge_gi consume only M, W and the sample fields). Skip
+    # gathering that column and return zeros; the pipeline tests +
+    # goldens pin that nothing downstream reads it.
+    wsum_leaf = leaves[1]
+    leaves = leaves[:1] + leaves[2:]
     out, in_band = _gather_packed(
         leaves, idx, width, cfg.history_gather_band, cfg.history_gather_halo,
         cfg.history_gather_layout, cfg.history_gather_mode,
@@ -435,6 +442,7 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
         force=cfg.history_gather_force,
         auto_min_retention=cfg.history_auto_min_retention,
     )
+    out = out[:1] + [jnp.zeros_like(wsum_leaf)] + out[1:]
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
 
