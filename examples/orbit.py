@@ -27,7 +27,8 @@ import numpy as np
 from sunray_tpu.camera import Camera
 from sunray_tpu.config import RenderConfig
 from sunray_tpu.render.renderer import Renderer
-from sunray_tpu.render.overlay import stats_overlay
+from sunray_tpu.render.overlay import stats_overlay  # noqa: F401
+from sunray_tpu.render.overlay2d import hud_overlay
 from sunray_tpu.scene import cornell_box
 from sunray_tpu.scene.manager import SceneManager
 from sunray_tpu.scene.types import translate
@@ -84,8 +85,14 @@ def main():
 
         ldr = r.render(cam, instances=instances)
 
-        img = stats_overlay(
-            ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], scale=1
+        # Fixed-length (60) history keeps the HUD meshes' shapes static
+        # frame to frame (stable dispatch caches on the device path).
+        hist = None
+        if len(frame_ms) >= 2:
+            hist = np.asarray(frame_ms[-60:], np.float64)
+            hist = np.pad(hist, (60 - len(hist), 0), mode="edge")
+        img = hud_overlay(
+            ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], frame_ms=hist,
         )
         host = np.asarray(img)  # present-readback: part of the frame cost
 
