@@ -50,6 +50,15 @@ class RenderConfig:
     #              (the reference's ray_gen_final.slang:328-382 branch)
     #   "brdf"   — BRDF sampling only (emission pickup), for bring-up/oracles
     lighting: str = "restir"
+    # Storage dtype for the ReSTIR p_hat/target-function ATTRIBUTE reads
+    # (normal, albedo, view, roughness, metallic — never positions or
+    # distances): "bf16" halves the HBM bytes of the reuse evaluations'
+    # inputs. p_hat is a resampling target function — any consistent
+    # function keeps the estimator valid — so this trades ~0.4%/term
+    # weight noise for bandwidth; quality bounded by the converged-truth
+    # pins (tests/test_quality.py) and the f32-vs-bf16 A/B in
+    # docs/PERFORMANCE.md. "f32" restores exact reference arithmetic.
+    shading_dtype: str = "f32"
 
     # ReSTIR DI (ray_gen_ris.slang / ray_gen_final.slang)
     ris_candidates: int = 16

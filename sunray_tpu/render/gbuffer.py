@@ -252,16 +252,24 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         return gbuf, restir.ReservoirDI.empty(p), restir.ReservoirGI.empty(p), hitd, walk_rounds
 
     # --- Phase 2: RIS + temporal + visibility (DI) ---
+    # p_hat attribute reads in the storage dtype (cfg.shading_dtype —
+    # positions/distances stay f32; see config.py).
+    sd = jnp.bfloat16 if cfg.shading_dtype == "bf16" else jnp.float32
+    nrm_s = walk["normal"].astype(sd)
+    alb_s = walk["albedo"].astype(sd)
+    view_s = walk["v_view"].astype(sd)
+    rough_s = walk["roughness"].astype(sd)
+    metal_s = walk["metallic"].astype(sd)
     enable_di = found & (walk["roughness"] > 0.2)
     seed, r_di = restir.ris_audition(
-        lights, seed, walk["pos"], walk["normal"], walk["v_view"],
-        walk["albedo"], walk["roughness"], walk["metallic"],
+        lights, seed, walk["pos"], nrm_s, view_s,
+        alb_s, rough_s, metal_s,
         cfg.ris_candidates, enable_di,
     )
     seed, r_di = restir.di_temporal_reuse(
         lights, cfg, seed, r_di, res_di_hist, prev_uv, prev_valid, frame_count,
-        walk["pos"], walk["normal"], walk["v_view"], walk["albedo"],
-        walk["roughness"], walk["metallic"], walk["virtual_distance"],
+        walk["pos"], nrm_s, view_s, alb_s,
+        rough_s, metal_s, walk["virtual_distance"],
         w, h, enable_di, grid=grid,
     )
 
@@ -333,7 +341,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     sample_radiance = jnp.minimum(sample_radiance, cfg.gi_radiance_clamp)
 
     p_hat = gi_target_pdf(
-        walk["pos"], walk["normal"], walk["albedo"], walk["metallic"],
+        walk["pos"], nrm_s, alb_s, metal_s,
         sample_pos, sample_radiance,
     )
     pdf = gi_ndl / PI
@@ -356,7 +364,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
 
     seed, r_gi = restir.gi_temporal_reuse(
         cfg, seed, r_gi, res_gi_hist, prev_uv, prev_valid, frame_count,
-        walk["pos"], walk["normal"], walk["albedo"], walk["metallic"],
+        walk["pos"], nrm_s, alb_s, metal_s,
         walk["virtual_distance"], w, h, found, grid=grid,
     )
     r_gi = r_gi.replace(

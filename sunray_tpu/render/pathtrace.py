@@ -419,6 +419,14 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     metal = c["f_metal"]
     v_view = c["f_view"]
     throughput = c["f_throughput"]
+    # p_hat attribute reads in the storage dtype (cfg.shading_dtype);
+    # geometry (pos, ray math, facing tests) stays f32 — see config.py.
+    _sd = jnp.bfloat16 if cfg.shading_dtype == "bf16" else jnp.float32
+    normal_s = normal.astype(_sd)
+    albedo_s = albedo.astype(_sd)
+    v_view_s = v_view.astype(_sd)
+    rough_s = rough.astype(_sd)
+    metal_s = metal.astype(_sd)
 
     pix0 = grid.row0 * w if grid is not None else 0
     pix = pix0 + jnp.arange(p, dtype=jnp.int32)
@@ -529,7 +537,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     )
     p_hat_c, _ = lights.eval_p_hat(
         center.light_idx, center.light_pos, center.light_normal,
-        pos, normal, v_view, albedo, rough, metal,
+        pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
     )
     seed, u_m = rng_mod.rnd(seed)
     spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
@@ -569,7 +577,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         nr = nr.replace(light_idx=jnp.minimum(nr.light_idx, num_lights - 1))
         p_hat_n, _ = lights.eval_p_hat(
             nr.light_idx, nr.light_pos, nr.light_normal,
-            pos, normal, v_view, albedo, rough, metal,
+            pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
         )
         seed, u = rng_mod.rnd(seed)
         spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
@@ -601,10 +609,10 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         em = gather_cols(lights.emission, idx_cl)
         p_hat_p, _, _ = eval_p_hat_planar(
             [pos[:, a : a + 1] for a in range(3)],
-            [normal[:, a : a + 1] for a in range(3)],
-            [v_view[:, a : a + 1] for a in range(3)],
-            [albedo[:, a : a + 1] for a in range(3)],
-            rough[:, None], metal[:, None], em, lpos, lnrm,
+            [normal_s[:, a : a + 1] for a in range(3)],
+            [v_view_s[:, a : a + 1] for a in range(3)],
+            [albedo_s[:, a : a + 1] for a in range(3)],
+            rough_s[:, None], metal_s[:, None], em, lpos, lnrm,
         )
         seed, u_taps = rng_mod.rnd_chain(seed, t_n)
         w_sum = spatial.w_sum
@@ -652,7 +660,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     has = pending & (spatial.w_sum > 0.0)
     p_hat_w, f_y_w = lights.eval_p_hat(
         spatial.light_idx, spatial.light_pos, spatial.light_normal,
-        pos, normal, v_view, albedo, rough, metal,
+        pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
     )
     w_spatial = spatial.w_sum / jnp.maximum(spatial.M * p_hat_w, 1e-3)
     w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
@@ -769,7 +777,8 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             nr, n_depth, ok = perpixel_neighbor(nx, ny, r_gi)
         nr, ok, jac = gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy)
         p_hat_n = gi_target_pdf(
-            pos, normal, albedo, metal, nr.sample_pos, nr.sample_radiance
+            pos, normal_s, albedo_s, metal_s, nr.sample_pos,
+            nr.sample_radiance
         )
         seed, u = rng_mod.rnd(seed)
         combined = restir.merge_gi(combined, nr, p_hat_n, jac, u, ok)
@@ -801,9 +810,9 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         jac_p = pl([pr[2] for pr in preps])
         p_hat_p = gi_target_pdf_planar(
             [pos[:, a : a + 1] for a in range(3)],
-            [normal[:, a : a + 1] for a in range(3)],
-            [albedo[:, a : a + 1] for a in range(3)],
-            metal[:, None], spos, srad,
+            [normal_s[:, a : a + 1] for a in range(3)],
+            [albedo_s[:, a : a + 1] for a in range(3)],
+            metal_s[:, None], spos, srad,
         )
         seed, u_taps = rng_mod.rnd_chain(seed, t_n)
         w_sum = combined.w_sum
@@ -852,7 +861,8 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         seed, combined = carry
 
     p_hat_f = gi_target_pdf(
-        pos, normal, albedo, metal, combined.sample_pos, combined.sample_radiance
+        pos, normal_s, albedo_s, metal_s, combined.sample_pos,
+        combined.sample_radiance
     )
     w_gi = jnp.where(
         p_hat_f > 1e-3,
