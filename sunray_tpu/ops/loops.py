@@ -15,7 +15,7 @@ import jax
 
 
 def bounded_loop(cond, body, init, max_iters: int, differentiable: bool,
-                 peel: int = 0):
+                 peel: int = 0, loop_body=None):
     """Run `body` until `cond` fails (forward) or exactly max_iters times
     (differentiable). body/cond operate on a single carry pytree.
 
@@ -31,11 +31,16 @@ def bounded_loop(cond, body, init, max_iters: int, differentiable: bool,
     peel = min(peel, max_iters)
     for _ in range(peel):
         init = body(init)
+    # loop_body: optional distinct body for the looped rounds — e.g. the
+    # bounce walks pass coherent=True for the peeled (camera-ray) round
+    # and coherent=False inside the loop so the binned tracer
+    # coherence-sorts only the genuinely incoherent bounce batches.
+    loop_body = body if loop_body is None else loop_body
     if not differentiable:
-        return jax.lax.while_loop(cond, body, init)
+        return jax.lax.while_loop(cond, loop_body, init)
 
     def scan_body(carry, _):
-        return body(carry), None
+        return loop_body(carry), None
 
     if max_iters - peel <= 0:
         return init

@@ -119,8 +119,9 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
     def cond(c):
         return (c["i"] < cfg.virtual_bounces) & jnp.any(c["active"])
 
-    def body(c):
-        hit = trace_closest(tracer, c["ray_o"], c["ray_d"])
+    def body(c, coherent=True):
+        hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
+                            coherent=coherent)
         surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
         live = c["active"] & surf.valid
         miss = c["active"] & ~surf.valid
@@ -172,6 +173,7 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
     # peel=1: the primary-ray round always runs; fusing it with the frame
     # avoids one while_loop carry materialization (ops/loops.py).
     c = bounded_loop(cond, body, init, cfg.virtual_bounces, cfg.differentiable,
+                     loop_body=lambda c: body(c, coherent=False),
                      peel=1)
     return c
 
@@ -304,7 +306,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     gi_enable = found & (gi_ndl > 0.0)
 
     gi_origin = walk["pos"] + walk["normal"] * 1e-3
-    gi_hit = trace_closest(tracer, gi_origin, gi_dir)
+    gi_hit = trace_closest(tracer, gi_origin, gi_dir, coherent=False)
     gi_surf = shade_hits(scene, gi_origin, gi_dir, gi_hit)
     gi_found = gi_enable & gi_surf.valid & (gi_surf.dist > 0.0)
 
@@ -327,7 +329,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     nee_try = gi_found & (nee_cos_surf > 0.0) & (nee_cos_light > 0.0)
     nee_occ = trace_occluded(
         tracer, sample_pos + sample_normal * 1e-3, to_light, nee_dist,
-        exclude=lights.world_tri[nee_idx],
+        exclude=lights.world_tri[nee_idx], coherent=False,
     )
     nee_ok = nee_try & ~nee_occ
     nee_pdf_sa = (nee_dist * nee_dist) / jnp.maximum(

@@ -155,9 +155,10 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     def cond(c):
         return (c["i"] < cfg.bounces) & jnp.any(c["active"])
 
-    def body(c):
+    def body(c, coherent=True):
         i = c["i"]
-        hit = trace_closest(tracer, c["ray_o"], c["ray_d"])
+        hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
+                            coherent=coherent)
         surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
         live = c["active"] & surf.valid
         roughness = jnp.maximum(surf.roughness, 0.01)
@@ -309,6 +310,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     # trace/shade/BRDF body with the rest of the frame instead of paying
     # the while_loop carry materialization (ops/loops.py).
     c = bounded_loop(cond, body, init, cfg.bounces, cfg.differentiable,
+                     loop_body=lambda c: body(c, coherent=False),
                      peel=1)
     radiance = c["radiance"]
     seed = c["seed"]
@@ -699,7 +701,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         if shared else None
     )
 
-    def gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy):
+    def gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy, defer_trace=False):
         """Everything of one GI tap except the merge draw: validity
         chain, neighbor-x1 jacobian, visibility ray. No rnd consumed —
         shared by the sequential loop and the batched merge."""
@@ -757,6 +759,11 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
 
         gdir = w_new / d_new[:, None]
         ok = ok & (dot(normal, gdir) > 0.0)
+        if defer_trace:
+            # Batched branch: hand the visibility ray back so all T taps
+            # ride ONE trace call (identical per-ray results — the kernel
+            # is per-lane; fewer kernel dispatches).
+            return nr, pending & ok, jac, (gdir, d_new, nr.sample_tri)
         occ = trace_occluded(tracer, pos, gdir, d_new, exclude=nr.sample_tri)
         ok = pending & ok & ~occ
         return nr, ok, jac
@@ -792,10 +799,27 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         # preserved exactly).
         t_n = cfg.gi_spatial_samples
         preps = []
+        rays = []
         for k in range(t_n):
             dx, dy = gi_taps[k]
             nr, n_depth, ok, nx, ny = gi_fetch(dx, dy)
-            preps.append(gi_tap_prep(nr, n_depth, ok, nx, ny, dx, dy))
+            nr, ok_pre, jac, ray = gi_tap_prep(nr, n_depth, ok, nx, ny,
+                                               dx, dy, defer_trace=True)
+            preps.append((nr, ok_pre, jac))
+            rays.append(ray)
+        # One trace for all T taps' visibility rays (same origin `pos`).
+        occ_all = trace_occluded(
+            tracer,
+            jnp.concatenate([pos] * t_n, axis=0),
+            jnp.concatenate([r[0] for r in rays], axis=0),
+            jnp.concatenate([r[1] for r in rays], axis=0),
+            exclude=jnp.concatenate([r[2] for r in rays], axis=0),
+            coherent=False,
+        )
+        preps = [
+            (nr, ok_pre & ~occ_all[k * p : (k + 1) * p], jac)
+            for k, (nr, ok_pre, jac) in enumerate(preps)
+        ]
         pl = lambda f: jnp.stack(f, axis=1)
         spos = [pl([pr[0].sample_pos[:, a] for pr in preps])
                 for a in range(3)]

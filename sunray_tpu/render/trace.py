@@ -145,11 +145,13 @@ def _alpha_accepts(scene, tri, u, v):
     return ~is_mask | (color[..., 3] >= cutoff)
 
 
-def _raw_closest(ctx, orig, d, tmin, tmax):
+def _raw_closest(ctx, orig, d, tmin, tmax, coherent=True):
     if ctx.binned is not None:
         from sunray_tpu.ops import binned_trace as binned_mod
 
-        return binned_mod.trace_closest_binned(ctx.binned, orig, d, tmin, tmax)
+        return binned_mod.trace_closest_binned(
+            ctx.binned, orig, d, tmin, tmax, reorder=not coherent
+        )
     if ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
 
@@ -169,8 +171,13 @@ def _raw_closest(ctx, orig, d, tmin, tmax):
     )
 
 
-def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.T_MAX):
-    hit = _raw_closest(ctx, orig, d, tmin, tmax)
+def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN,
+                  tmax=intersect.T_MAX, coherent=True):
+    """coherent=False: the caller knows the batch is incoherent
+    (bounce/GI rays) — the binned backend coherence-sorts it first
+    (ops/binned_trace._coherence_keys); other backends ignore the hint
+    (the brute kernel and per-ray walks are order-independent)."""
+    hit = _raw_closest(ctx, orig, d, tmin, tmax, coherent=coherent)
     # The tracer is a discrete oracle: gradients flow through the
     # differentiable hit-attribute recompute in render/shade.py, never
     # through traversal itself (which may run as a Pallas kernel with no
@@ -212,7 +219,7 @@ def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN, tmax=intersect.
 
 
 def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
-                   exclude=None):
+                   exclude=None, coherent=True):
     """Boolean occlusion along segments. Degenerate segments (< 2e-3, the
     reference's TMax<TMin guard, e.g. ray_gen_ris.slang:287) are visible.
 
@@ -263,7 +270,8 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
         from sunray_tpu.ops import binned_trace as binned_mod
 
         occ = binned_mod.trace_occluded_binned(
-            ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude
+            ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude,
+            reorder=not coherent,
         )
     elif ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
