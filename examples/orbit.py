@@ -28,7 +28,7 @@ from sunray_tpu.camera import Camera
 from sunray_tpu.config import RenderConfig
 from sunray_tpu.render.renderer import Renderer
 from sunray_tpu.render.overlay import stats_overlay  # noqa: F401
-from sunray_tpu.render.overlay2d import hud_overlay
+from sunray_tpu.render.overlay2d import hud_overlay_np
 from sunray_tpu.scene import cornell_box
 from sunray_tpu.scene.manager import SceneManager
 from sunray_tpu.scene.types import translate
@@ -63,6 +63,27 @@ def main():
     r.scene = r._manager.build(base_instances)
 
     os.makedirs(args.out, exist_ok=True)
+
+    # Pre-warm: run the spawn-frame instance list ONCE before the timed
+    # loop. The SceneManager capacity ratchet then pads the base list to
+    # the same capacity, so the whole loop (including spawn@24/despawn@48)
+    # runs ONE compiled program — the window app's shaders are likewise
+    # compiled before its loop (examples/window/main.rs).
+    smallest_key = min(
+        base_instances,
+        key=lambda kt: r._manager._meshes[kt[0]].tri_vidx.shape[0],
+    )[0]
+    warm_cam = Camera(position=(1.0, 1.3, 3.6), target=(1.0, 1.0, 1.0),
+                     fov_y=50.0)
+    t0 = time.time()
+    np.asarray(r.render(warm_cam, instances=list(base_instances)
+               + [(smallest_key, translate(0.0, -0.8, 0.0))]))
+    np.asarray(r.render(warm_cam, instances=list(base_instances)))
+    compile_s = time.time() - t0
+    r.reset_history()
+    print(f"prewarm (both capacity programs): {compile_s:.1f} s",
+          flush=True)
+
     fps = 0.0
     frame_ms = []          # per-frame walltime (render + overlay + present)
     churn_frames = []      # frames where the instance list changed
@@ -85,16 +106,16 @@ def main():
 
         ldr = r.render(cam, instances=instances)
 
-        # Fixed-length (60) history keeps the HUD meshes' shapes static
-        # frame to frame (stable dispatch caches on the device path).
-        hist = None
-        if len(frame_ms) >= 2:
-            hist = np.asarray(frame_ms[-60:], np.float64)
-            hist = np.pad(hist, (60 - len(hist), 0), mode="edge")
-        img = hud_overlay(
-            ldr, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], frame_ms=hist,
+        # Present-readback (part of the frame cost), then the HUD
+        # composites on the HOST copy — eager device-side overlay ops
+        # cost seconds/frame through the remote-TPU tunnel (the in-jit
+        # painter render/overlay2d.paint_meshes stays available for
+        # pipelines that fuse the HUD into the frame function).
+        host = np.asarray(ldr).copy()
+        hist = frame_ms[-60:] if len(frame_ms) >= 2 else None
+        hud_overlay_np(
+            host, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], frame_ms=hist,
         )
-        host = np.asarray(img)  # present-readback: part of the frame cost
 
         t_now = time.time()
         dt = t_now - t_prev
@@ -109,13 +130,13 @@ def main():
         if frame % 12 == 0:
             print(f"frame {frame:4d}  fps {fps:6.2f}", flush=True)
 
-    # Frame 0 carries the jit compile; steady-state excludes it.
     steady = frame_ms[1:]
     churn_ms = [frame_ms[f] for f in churn_frames]
     stats = {
         "resolution": args.size,
         "frames": args.frames,
         "device": None,
+        "prewarm_s": round(compile_s, 1),
         "compile_frame_ms": round(frame_ms[0], 1),
         "steady_mean_ms": round(float(np.mean(steady)), 1),
         "steady_p50_ms": round(float(np.median(steady)), 1),
@@ -123,12 +144,11 @@ def main():
         "steady_fps": round(1e3 / float(np.mean(steady)), 2),
         "churn_frames": churn_frames,
         "churn_frame_ms": [round(m, 1) for m in churn_ms],
-        # No recompile on churn: a recompile would cost ~compile_frame_ms;
-        # the spawn/despawn frames must stay within ~3x the steady median
-        # (capacity-padded buffers keep shapes stable; scene/manager.py).
+        # No recompile on churn: a recompile costs seconds; with the
+        # capacity ratchet + prewarm the spawn/despawn frames must stay
+        # within 3x the steady median (scene/manager.py).
         "no_recompile_on_churn": bool(
-            all(m < max(10 * float(np.median(steady)),
-                        0.05 * frame_ms[0]) for m in churn_ms)
+            all(m < 3 * float(np.median(steady)) for m in churn_ms)
         ),
     }
     try:

@@ -326,3 +326,86 @@ def hud_overlay(img, lines, frame_ms=None, origin=(6.0, 6.0),
         gy0 = y + ph
         meshes += plot_lines(frame_ms, x, gy0, x + pw - 8, gy0 + 28.0)
     return paint_meshes(img, meshes)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) HUD compositor — for interactive loops on remote
+# accelerators. The jit-able painter above dispatches each op to the
+# device; through a remote-TPU tunnel the ~180 eager ops of a HUD cost
+# SECONDS per frame (measured in examples/orbit.py). The interactive loop
+# already reads the frame back for present/PNG, so the HUD composites in
+# numpy on the host copy — zero extra device traffic, bbox-limited work.
+# ---------------------------------------------------------------------------
+
+
+def _np_blend_rect(img, x0, y0, x1, y1, rgba):
+    h, w = img.shape[:2]
+    x0i, y0i = max(int(x0), 0), max(int(y0), 0)
+    x1i, y1i = min(int(round(x1)), w), min(int(round(y1)), h)
+    if x1i <= x0i or y1i <= y0i:
+        return
+    r, g, b, a = rgba
+    img[y0i:y1i, x0i:x1i] *= 1.0 - a
+    img[y0i:y1i, x0i:x1i] += np.asarray([r, g, b], np.float32) * a
+
+
+def _np_text(img, text, x, y, rgba, scale=1):
+    from sunray_tpu.render.overlay import _glyph_mask
+
+    h, w = img.shape[:2]
+    col = np.asarray(rgba[:3], np.float32)
+    a = rgba[3]
+    cx = int(x)
+    for ch in text:
+        m = _glyph_mask(ch)
+        if scale > 1:
+            m = np.kron(m, np.ones((scale, scale), np.float32))
+        gh, gw = m.shape
+        if cx + gw >= w or int(y) + gh >= h:
+            break
+        reg = img[int(y) : int(y) + gh, cx : cx + gw]
+        mm = (m * a)[..., None]
+        reg *= 1.0 - mm
+        reg += col * mm
+        cx += gw + scale
+
+
+def _np_polyline(img, xs, ys, rgba, width=1):
+    """Column-sampled polyline (plots are functions of x — draw a short
+    vertical segment per column between adjacent samples)."""
+    h, w = img.shape[:2]
+    col = np.asarray(rgba[:3], np.float32)
+    a = rgba[3]
+    for i in range(len(xs) - 1):
+        x0, x1 = int(xs[i]), int(xs[i + 1])
+        for x in range(max(x0, 0), min(x1 + 1, w)):
+            t = 0.0 if x1 == x0 else (x - x0) / (x1 - x0)
+            yy = ys[i] + t * (ys[i + 1] - ys[i])
+            y0i = max(int(yy) - width // 2, 0)
+            y1i = min(y0i + width, h)
+            img[y0i:y1i, x] = img[y0i:y1i, x] * (1 - a) + col * a
+
+
+def hud_overlay_np(img, lines, frame_ms=None, origin=(6, 6), scale=1):
+    """Numpy twin of hud_overlay operating IN PLACE on a host (H, W, 3)
+    float array (call on the np.asarray'd frame). Returns img."""
+    x, y = origin
+    gh = (GLYPH_H + 2) * scale
+    tw = max((len(t) for t in lines), default=0) * (GLYPH_W + 1) * scale
+    ph = gh * len(lines) + 8
+    pw = max(tw + 12, 120 if frame_ms is not None else 0)
+    extra = 34 if frame_ms is not None else 0
+    _np_blend_rect(img, x - 4, y - 4, x + pw, y + ph + extra,
+                   (0.0, 0.0, 0.0, 0.55))
+    for i, text in enumerate(lines):
+        _np_text(img, text, x, y + i * gh, (1.0, 1.0, 1.0, 1.0),
+                 scale=scale)
+    if frame_ms is not None and len(frame_ms) >= 2:
+        v = np.asarray(frame_ms, np.float64)
+        lo, hi = float(v.min()), float(v.max())
+        hi = max(hi, lo + 1e-9)
+        gy0 = y + ph
+        xs = np.linspace(x + 2, x + pw - 10, num=len(v))
+        ys = gy0 + 26 - (v - lo) / (hi - lo) * 24
+        _np_polyline(img, xs, ys, (0.3, 0.9, 0.4, 1.0))
+    return img

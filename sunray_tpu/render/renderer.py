@@ -30,6 +30,7 @@ class Renderer:
         self._frame_jit = None
         self._manager = None
         self._instances = None
+        self._last_transforms = None   # host cache of the last upload
         self._accel = None
         self._accel_for = None
         # AS rebuild/refit heuristic state (acceleration_structure/
@@ -278,6 +279,7 @@ class Renderer:
         self.scene = scene
         self._manager = None
         self._instances = None
+        self._last_transforms = None
         self._groups = {}           # any load_gltf groups are gone with
         self.last_scene_group = None  # the manager they lived in
         self._sync_scene_flags()
@@ -414,15 +416,22 @@ class Renderer:
                 [np.asarray(t, np.float32) for _, t in instances]
             )
             self._instances = instances
-            if not np.array_equal(
-                new_t, np.asarray(self.scene.inst_transform)
+            # Compare against the HOST-side cache of the last upload — a
+            # device readback here is a blocking round trip per frame
+            # (measured seconds/frame through the remote-TPU tunnel).
+            if self._last_transforms is None or not np.array_equal(
+                new_t, self._last_transforms
             ):
                 self.scene = self.scene.replace(
                     inst_transform=jnp.asarray(new_t)
                 )
+                self._last_transforms = new_t
             return
         self._instances = instances
         self.scene = self._manager.build(self._instances)
+        self._last_transforms = np.stack(
+            [np.asarray(t, np.float32) for _, t in instances]
+        ) if instances else None
 
     def reset_history(self):
         """Temporal-state reset (resize/scene-change semantics, lib.rs:639)."""

@@ -54,6 +54,9 @@ class SceneManager:
         self._meshes: Dict[Hashable, MeshRecord] = {}
         self._textures = textures
         self._generation = 0
+        # Capacity high-water marks (see build's ratchet).
+        self._tri_cap = 0
+        self._inst_cap = 0
 
     # -- mesh registry (load_mesh/unload_mesh analog, lib.rs:873-973) --
     def add_mesh(self, key: Hashable, positions, normals, tri_vidx,
@@ -171,26 +174,52 @@ class SceneManager:
             textures=self._textures,
         )
         if pad_to_capacity:
-            scene = pad_scene_capacity(scene)
+            # Capacity RATCHET: pad up to the largest capacity this
+            # manager has ever built, so a spawn compiles at most one new
+            # program and every despawn/respawn below the high-water mark
+            # reuses it (the reference's arena never shrinks either).
+            scene = pad_scene_capacity(scene, self._tri_cap, self._inst_cap)
+            self._tri_cap = max(self._tri_cap, int(scene.num_tris))
+            self._inst_cap = max(self._inst_cap,
+                                 int(scene.inst_prim.shape[0]))
         return scene
 
 
-def pad_scene_capacity(scene: SceneBuffers) -> SceneBuffers:
-    """Pad the world-triangle list to the next power of two with degenerate
-    triangles so small topology edits keep array shapes (and the compiled
-    frame program) stable — the arena-capacity analog."""
+def pad_scene_capacity(scene: SceneBuffers, min_tris: int = 0,
+                       min_inst: int = 0) -> SceneBuffers:
+    """Pad the world-triangle AND instance arrays to power-of-two
+    capacities (at least min_tris/min_inst) so small topology edits keep
+    array shapes — and therefore the compiled frame program — stable: the
+    arena-capacity analog. Padded triangles are degenerate (all corners at
+    vertex 0 of instance 0); padded instances carry prim 0 with a ZERO
+    transform and are referenced by no triangle (the light tables were
+    built from the real instances before padding, so padding can never add
+    lights)."""
     import jax.numpy as jnp
 
     t = scene.num_tris
-    cap = _next_pow2(max(t, 1))
-    if cap == t:
-        return scene
-    pad = cap - t
-    # Degenerate triangles: all three corners at vertex 0 of instance 0.
-    tri_vidx = jnp.concatenate(
-        [scene.tri_vidx, jnp.zeros((pad, 3), jnp.int32)], axis=0
-    )
-    tri_inst = jnp.concatenate(
-        [scene.tri_inst, jnp.zeros((pad,), jnp.int32)], axis=0
-    )
-    return scene.replace(tri_vidx=tri_vidx, tri_inst=tri_inst)
+    cap = max(_next_pow2(max(t, 1)), min_tris)
+    if cap != t:
+        pad = cap - t
+        scene = scene.replace(
+            tri_vidx=jnp.concatenate(
+                [scene.tri_vidx, jnp.zeros((pad, 3), jnp.int32)], axis=0
+            ),
+            tri_inst=jnp.concatenate(
+                [scene.tri_inst, jnp.zeros((pad,), jnp.int32)], axis=0
+            ),
+        )
+    ni = scene.inst_prim.shape[0]
+    icap = max(_next_pow2(max(ni, 1)), min_inst)
+    if icap != ni:
+        ipad = icap - ni
+        scene = scene.replace(
+            inst_prim=jnp.concatenate(
+                [scene.inst_prim, jnp.zeros((ipad,), jnp.int32)], axis=0
+            ),
+            inst_transform=jnp.concatenate(
+                [scene.inst_transform,
+                 jnp.zeros((ipad, 3, 4), jnp.float32)], axis=0
+            ),
+        )
+    return scene

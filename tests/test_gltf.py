@@ -140,8 +140,12 @@ class TestSceneGroups:
         assert np.isfinite(img).all()
 
         r.unload_scene(g2)
-        assert r.scene.num_tris == tris1
+        # Real content restored (instance list is the unpadded truth);
+        # the ARRAY capacity stays at the high-water mark — the manager's
+        # capacity ratchet keeps the compiled program stable across
+        # unload/reload cycles (scene/manager.py build()).
         assert len(r._instances) == n_inst1
+        assert r.scene.num_tris >= tris1
         img = np.asarray(r.render(cam))
         assert np.isfinite(img).all()
 
