@@ -149,8 +149,12 @@ def _raw_closest(ctx, orig, d, tmin, tmax, coherent=True):
     if ctx.binned is not None:
         from sunray_tpu.ops import binned_trace as binned_mod
 
+        # Always reorder on the binned path: the coherence sort won on
+        # BOTH tested ray classes (82k tris, 2M rays, v5e: bounce rays
+        # 4940 -> 1283 ms, camera rays 352 -> 290 ms, results
+        # bit-identical; examples/bench_binned.py 2026-08-20).
         return binned_mod.trace_closest_binned(
-            ctx.binned, orig, d, tmin, tmax, reorder=not coherent
+            ctx.binned, orig, d, tmin, tmax, reorder=True
         )
     if ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
@@ -271,7 +275,7 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
 
         occ = binned_mod.trace_occluded_binned(
             ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude,
-            reorder=not coherent,
+            reorder=True,
         )
     elif ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
