@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: the whole ReSTIR DI candidate audition in VMEM.
+
+ray_gen_ris.slang:189-231 — K rounds of weighted reservoir sampling
+against the unshadowed target. The batched jnp formulation
+(restir.ris_audition) still materializes every intermediate plane in HBM
+(draws, per-candidate light samples, p_hat, the merge chain) and profiled
+~23 ms/frame at 1080p; algorithmically the audition touches only ~60
+floats of input and ~10 of output per pixel. This kernel runs the whole
+thing per 4096-pixel block with ZERO HBM intermediates:
+
+  - pixels ride (8, 512) tiles (full sublane occupancy — a first cut
+    used (1, B) row vectors and ran at 1/8 VPU throughput, costing MORE
+    than the jnp planes);
+  - the PCG draw chain (rt_utils.slang:54-59) runs in uint32 registers
+    (Mosaic has no uint32->f32 cast; draws reconstruct via a 31-bit
+    split, exact to one ulp of u);
+  - candidate light rows come from a per-row select chain over the
+    VMEM-resident light table (Mosaic rejects per-lane dynamic VMEM
+    indexing; scenes with > MAX_LIGHTS lights use the jnp path);
+  - the GGX/Lambert p_hat evaluation (rt_utils.slang:203-234), the
+    sequential reservoir chain, and the winner's W resolve
+    (ray_gen_ris.slang:225-231) all run in registers.
+
+Op-for-op the math follows restir._ris_audition_sequential, so results
+match the jnp paths to FMA-contraction noise (a last-ulp difference can
+flip a reservoir take — the equivalence test uses the same tolerance
+scheme as the batched-taps oracle). Gradients route through the jnp
+reference (the dispatcher keeps differentiable frames on jnp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+SUB = 8            # sublane rows per plane
+LANES = 512        # lanes per block
+BLOCK = SUB * LANES
+MAX_LIGHTS = 32    # select-chain bound; bigger tables use the jnp path
+_A = 747796405
+_C = 2891336453
+_INV_U32_MAX = 1.0 / 4294967295.0
+PI = 3.14159  # rt_utils.slang's constant (ops/brdf.py)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _rnd(seed):
+    """One PCG draw on an (8, L) uint32 tile; returns (seed', u f32).
+
+    Draw reconstruction is exact to one ulp of u (see module docstring);
+    the SEED chain stays uint32-exact."""
+    seed = seed * jnp.uint32(_A) + jnp.uint32(_C)
+    shift = (seed >> 28) + jnp.uint32(4)
+    word = ((seed >> shift) ^ seed) * jnp.uint32(277803737)
+    result = (word >> 22) ^ word
+    hi = jax.lax.bitcast_convert_type(result >> 1, jnp.int32)
+    lo = jax.lax.bitcast_convert_type(result & jnp.uint32(1), jnp.int32)
+    u = (hi.astype(jnp.float32) * 2.0 + lo.astype(jnp.float32)) * (
+        jnp.float32(_INV_U32_MAX)
+    )
+    return seed, u
+
+
+def _kernel(attr_ref, seed_ref, en_ref, tab_ref, out_ref, *, k, num_lights):
+    """attr (128, L): rows 8i..8i+7 = plane i — 0-2 pos, 3-5 normal,
+                      6-8 view, 9-11 albedo, 12 rough, 13 metal.
+       seed (8, L) uint32; en (8, L) int32 (1 = enabled).
+       tab  (16, Lp): rows 0-8 v0/v1/v2 xyz, 9-11 emission.
+       out  (128, L): planes 0-2 light_pos, 3-5 light_normal, 6 w_sum,
+                      7 M, 8 light_idx (bitcast i32), 9 W, 15 seed'."""
+
+    def attr(i):
+        return attr_ref[8 * i : 8 * i + 8, :]
+
+    px = [attr(0), attr(1), attr(2)]
+    nx = [attr(3), attr(4), attr(5)]
+    vx = [attr(6), attr(7), attr(8)]
+    al = [attr(9), attr(10), attr(11)]
+    rough = attr(12)
+    metal = attr(13)
+    enable = en_ref[...] > 0
+    seed = seed_ref[...]
+
+    ndv = jnp.maximum(
+        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
+    )
+    a_r = rough * rough
+    a2 = a_r * a_r
+
+    def eval_p_hat(lpos, lnrm, em):
+        l = [lpos[c] - px[c] for c in range(3)]
+        d2 = l[0] * l[0] + l[1] * l[1] + l[2] * l[2]
+        dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 1e-20)), 1e-4)
+        l = [l[c] / dist for c in range(3)]
+        ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
+        cos_light = jnp.maximum(
+            -(lnrm[0] * l[0] + lnrm[1] * l[1] + lnrm[2] * l[2]), 0.0
+        )
+        lit = (ndl > 0.0) & (cos_light > 0.0)
+        h = [vx[c] + l[c] for c in range(3)]
+        h_n = jnp.maximum(
+            jnp.sqrt(jnp.maximum(h[0] * h[0] + h[1] * h[1]
+                                 + h[2] * h[2], 1e-20)), 1e-12
+        )
+        h = [h[c] / h_n for c in range(3)]
+        ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
+        vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
+        denom = ndh * ndh * (a2 - 1.0) + 1.0
+        d_term = a2 / (PI * denom * denom)
+        ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+        ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+        v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
+        fres5 = (1.0 - vdh) ** 5
+        geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
+        p_hat = None
+        for c in range(3):
+            f0 = 0.04 * (1.0 - metal) + al[c] * metal
+            f = f0 + (1.0 - f0) * fres5
+            specular = d_term * v_term * f
+            diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
+            out_c = em[c] * (diffuse + specular) * geometry
+            out_c = jnp.where(lit, out_c, 0.0)
+            p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
+        return p_hat
+
+    def light_cols(idx):
+        """12 candidate light columns via a select chain over the table
+        rows (num_lights is small; MAX_LIGHTS-gated by the wrapper)."""
+        vals = [jnp.zeros_like(rough) for _ in range(12)]
+        for row in range(num_lights):
+            m = idx == row
+            for c in range(12):
+                vals[c] = jnp.where(m, tab_ref[c, row], vals[c])
+        return vals
+
+    zero = jnp.zeros_like(rough)
+    w_sum = zero
+    r_idx = jnp.zeros_like(en_ref[...])
+    r_pos = [zero, zero, zero]
+    r_nrm = [zero, zero, zero]
+
+    for _ in range(k):
+        seed, u_pick = _rnd(seed)
+        idx = jnp.minimum(
+            (u_pick * num_lights).astype(jnp.int32), num_lights - 1
+        )
+        seed, u1 = _rnd(seed)
+        seed, u2 = _rnd(seed)
+        cols = light_cols(idx)
+        v0 = cols[0:3]
+        v1 = cols[3:6]
+        v2 = cols[6:9]
+        em = cols[9:12]
+        e1 = [v1[c] - v0[c] for c in range(3)]
+        e2 = [v2[c] - v0[c] for c in range(3)]
+        cr = [
+            e1[1] * e2[2] - e1[2] * e2[1],
+            e1[2] * e2[0] - e1[0] * e2[2],
+            e1[0] * e2[1] - e1[1] * e2[0],
+        ]
+        cr_n = jnp.sqrt(jnp.maximum(
+            cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2], 1e-20
+        ))
+        area = 0.5 * cr_n
+        nn = jnp.maximum(cr_n, 1e-12)
+        nrm = [cr[c] / nn for c in range(3)]
+        sqr1 = jnp.sqrt(u1)
+        bu = 1.0 - sqr1
+        bv = u2 * sqr1
+        bw = 1.0 - bu - bv
+        pos = [v0[c] * bu + v1[c] * bv + v2[c] * bw for c in range(3)]
+
+        p_hat = eval_p_hat(pos, nrm, em)
+        p_y = 1.0 / jnp.maximum(num_lights * area, 1e-4)
+        wi = jnp.where(enable, p_hat / p_y, 0.0)
+        w_sum = w_sum + wi
+        seed, u_keep = _rnd(seed)
+        take = enable & (u_keep < wi / jnp.maximum(w_sum, 1e-4))
+        r_idx = jnp.where(take, idx, r_idx)
+        for c in range(3):
+            r_pos[c] = jnp.where(take, pos[c], r_pos[c])
+            r_nrm[c] = jnp.where(take, nrm[c], r_nrm[c])
+
+    m = jnp.where(enable, float(k), 0.0)
+    # W resolve (ray_gen_ris.slang:225-231): re-evaluate the winner.
+    cols_w = light_cols(r_idx)
+    p_hat_w = eval_p_hat(r_pos, r_nrm, cols_w[9:12])
+    w = w_sum / jnp.maximum(m * p_hat_w, 1e-4)
+    w_final = jnp.where(enable & (w_sum > 0.0), w, 0.0)
+
+    def put(i, plane):
+        out_ref[8 * i : 8 * i + 8, :] = plane
+
+    put(0, r_pos[0])
+    put(1, r_pos[1])
+    put(2, r_pos[2])
+    put(3, r_nrm[0])
+    put(4, r_nrm[1])
+    put(5, r_nrm[2])
+    put(6, w_sum)
+    put(7, m)
+    put(8, jax.lax.bitcast_convert_type(r_idx, jnp.float32))
+    put(9, w_final)
+    z8 = jnp.zeros_like(rough)
+    for i in range(10, 15):
+        put(i, z8)
+    put(15, jax.lax.bitcast_convert_type(seed, jnp.float32))
+
+
+def _pad_to(x, m):
+    return -(-x // m) * m
+
+
+def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
+                        hit_pos, hit_normal, v_view, albedo, roughness,
+                        metallic, candidates: int, enable):
+    """Drop-in forward for restir.ris_audition's compute. Returns
+    (seed', dict of reservoir fields) — or None when the light table
+    exceeds MAX_LIGHTS (caller falls back to the jnp planes)."""
+    l = light_v0.shape[0]
+    if l > MAX_LIGHTS:
+        return None
+    p = hit_pos.shape[0]
+    np_ = _pad_to(max(p, BLOCK), BLOCK)
+    rows = np_ // SUB
+
+    def plane(x):
+        return jnp.zeros((np_,), jnp.float32).at[:p].set(
+            x.astype(jnp.float32)
+        ).reshape(SUB, rows)
+
+    attr = jnp.concatenate(
+        [plane(hit_pos[:, 0]), plane(hit_pos[:, 1]), plane(hit_pos[:, 2]),
+         plane(hit_normal[:, 0]), plane(hit_normal[:, 1]),
+         plane(hit_normal[:, 2]),
+         plane(v_view[:, 0]), plane(v_view[:, 1]), plane(v_view[:, 2]),
+         plane(albedo[:, 0]), plane(albedo[:, 1]), plane(albedo[:, 2]),
+         plane(roughness), plane(metallic),
+         jnp.zeros((2 * SUB, rows), jnp.float32)],
+        axis=0,
+    )                                                   # (128, rows)
+    seed_p = jnp.zeros((np_,), jnp.uint32).at[:p].set(seed).reshape(
+        SUB, rows
+    )
+    en_p = jnp.zeros((np_,), jnp.int32).at[:p].set(
+        enable.astype(jnp.int32)
+    ).reshape(SUB, rows)
+
+    lp = _pad_to(l, 128)
+    tab = jnp.zeros((16, lp), jnp.float32)
+    tab = tab.at[0:3, :l].set(light_v0.T)
+    tab = tab.at[3:6, :l].set(light_v1.T)
+    tab = tab.at[6:9, :l].set(light_v2.T)
+    tab = tab.at[9:12, :l].set(light_em.T)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=candidates, num_lights=l),
+        grid=(rows // LANES,),
+        in_specs=[
+            pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((16, lp), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
+        interpret=_interpret(),
+    )(attr, seed_p, en_p, tab)
+
+    def unplane(i, dtype=jnp.float32):
+        flat = out[8 * i : 8 * i + 8, :].reshape(np_)[:p]
+        if dtype != jnp.float32:
+            return jax.lax.bitcast_convert_type(flat, dtype)
+        return flat
+
+    seed_out = unplane(15, jnp.uint32)
+    fields = dict(
+        light_pos=jnp.stack([unplane(0), unplane(1), unplane(2)], axis=-1),
+        light_normal=jnp.stack([unplane(3), unplane(4), unplane(5)],
+                               axis=-1),
+        w_sum=unplane(6),
+        M=unplane(7),
+        light_idx=unplane(8, jnp.int32),
+        W=unplane(9),
+    )
+    return seed_out, fields

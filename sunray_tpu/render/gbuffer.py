@@ -267,6 +267,9 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         lights, seed, walk["pos"], nrm_s, view_s,
         alb_s, rough_s, metal_s,
         cfg.ris_candidates, enable_di,
+        # Differentiable frames keep the jnp formulation (the Pallas
+        # audition routes no gradients; tracer-adjacent inference path).
+        kernel="jnp" if cfg.differentiable else "auto",
     )
     seed, r_di = restir.di_temporal_reuse(
         lights, cfg, seed, r_di, res_di_hist, prev_uv, prev_valid, frame_count,

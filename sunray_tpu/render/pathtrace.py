@@ -595,7 +595,11 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         # (tests/test_pipeline.py::TestBatchedSpatialTaps).
         t_n = cfg.di_spatial_samples
         fetched = [di_fetch(dx, dy) for dx, dy in di_taps]
-        pl = lambda f: jnp.stack(f, axis=1)               # T x (P,) -> (P,T)
+        # (T, P) planes: taps on sublanes, pixels on lanes — per-tap
+        # accesses below are contiguous ROW reads (a (P, T) layout made
+        # every plane[:, i] a strided read of the whole tiled array; the
+        # audition's chain profiled ~13 ms/frame that way, restir.py).
+        pl = lambda f: jnp.stack(f, axis=0)               # T x (P,) -> (T,P)
         idx_raw = pl([f[0].light_idx for f in fetched])
         w_raw = pl([f[0].W for f in fetched])
         m_raw = pl([f[0].M for f in fetched])
@@ -605,35 +609,36 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
                 for a in range(3)]
         w_cl = jnp.minimum(w_raw, cfg.di_temporal_w_clamp)
         m_cl = jnp.minimum(m_raw, cfg.di_temporal_m_clamp)
-        use_p = (pending[:, None] & okp & (w_cl > 0.0)
+        use_p = (pending[None, :] & okp & (w_cl > 0.0)
                  & (idx_raw < num_lights))
         idx_cl = jnp.minimum(idx_raw, num_lights - 1)
         em = gather_cols(lights.emission, idx_cl)
         p_hat_p, _, _ = eval_p_hat_planar(
-            [pos[:, a : a + 1] for a in range(3)],
-            [normal_s[:, a : a + 1] for a in range(3)],
-            [v_view_s[:, a : a + 1] for a in range(3)],
-            [albedo_s[:, a : a + 1] for a in range(3)],
-            rough_s[:, None], metal_s[:, None], em, lpos, lnrm,
+            [pos[:, a][None, :] for a in range(3)],
+            [normal_s[:, a][None, :] for a in range(3)],
+            [v_view_s[:, a][None, :] for a in range(3)],
+            [albedo_s[:, a][None, :] for a in range(3)],
+            rough_s[None, :], metal_s[None, :], em, lpos, lnrm,
         )
         seed, u_taps = rng_mod.rnd_chain(seed, t_n)
+        u_taps = u_taps.T                                 # (T, P)
         w_sum = spatial.w_sum
         m_acc = spatial.M
         slot = jnp.full((p,), -1, jnp.int32)
         for i in range(t_n):
-            use_i = use_p[:, i]
-            m_acc = m_acc + jnp.where(use_i, m_cl[:, i], 0.0)
-            weight = jnp.where(use_i, p_hat_p[:, i] * w_cl[:, i]
-                               * m_cl[:, i], 0.0)
+            use_i = use_p[i]
+            m_acc = m_acc + jnp.where(use_i, m_cl[i], 0.0)
+            weight = jnp.where(use_i, p_hat_p[i] * w_cl[i]
+                               * m_cl[i], 0.0)
             w_sum = w_sum + weight
-            take = use_i & (u_taps[:, i]
+            take = use_i & (u_taps[i]
                             < weight / jnp.maximum(w_sum, 1e-4))
             slot = jnp.where(take, i, slot)
 
         def sel(plane, base):
             val = base
             for i in range(t_n):
-                val = jnp.where(slot == i, plane[:, i], val)
+                val = jnp.where(slot == i, plane[i], val)
             return val
 
         spatial = spatial.replace(
@@ -820,7 +825,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             (nr, ok_pre & ~occ_all[k * p : (k + 1) * p], jac)
             for k, (nr, ok_pre, jac) in enumerate(preps)
         ]
-        pl = lambda f: jnp.stack(f, axis=1)
+        pl = lambda f: jnp.stack(f, axis=0)               # (T, P) rows
         spos = [pl([pr[0].sample_pos[:, a] for pr in preps])
                 for a in range(3)]
         snrm = [pl([pr[0].sample_normal[:, a] for pr in preps])
@@ -833,31 +838,32 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         ok_p = pl([pr[1] for pr in preps])
         jac_p = pl([pr[2] for pr in preps])
         p_hat_p = gi_target_pdf_planar(
-            [pos[:, a : a + 1] for a in range(3)],
-            [normal_s[:, a : a + 1] for a in range(3)],
-            [albedo_s[:, a : a + 1] for a in range(3)],
-            metal_s[:, None], spos, srad,
+            [pos[:, a][None, :] for a in range(3)],
+            [normal_s[:, a][None, :] for a in range(3)],
+            [albedo_s[:, a][None, :] for a in range(3)],
+            metal_s[None, :], spos, srad,
         )
         seed, u_taps = rng_mod.rnd_chain(seed, t_n)
+        u_taps = u_taps.T                                 # (T, P)
         w_sum = combined.w_sum
         m_acc = combined.M
         slot = jnp.full((p,), -1, jnp.int32)
         for i in range(t_n):
-            ok_i = ok_p[:, i]
-            m_acc = m_acc + jnp.where(ok_i, m_p[:, i], 0.0)
+            ok_i = ok_p[i]
+            m_acc = m_acc + jnp.where(ok_i, m_p[i], 0.0)
             weight = jnp.where(
-                ok_i, p_hat_p[:, i] * w_p[:, i] * m_p[:, i] * jac_p[:, i],
+                ok_i, p_hat_p[i] * w_p[i] * m_p[i] * jac_p[i],
                 0.0,
             )
             w_sum = w_sum + weight
-            take = ok_i & (u_taps[:, i]
+            take = ok_i & (u_taps[i]
                            < weight / jnp.maximum(w_sum, 1e-4))
             slot = jnp.where(take, i, slot)
 
         def gsel(plane, base):
             val = base
             for i in range(t_n):
-                val = jnp.where(slot == i, plane[:, i], val)
+                val = jnp.where(slot == i, plane[i], val)
             return val
 
         combined = combined.replace(

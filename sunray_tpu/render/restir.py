@@ -175,8 +175,14 @@ class Lights:
 
 
 def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
-                 roughness, metallic, candidates: int, enable):
+                 roughness, metallic, candidates: int, enable,
+                 kernel: str = "auto"):
     """RIS candidate audition (ray_gen_ris.slang:189-231), batched.
+
+    kernel: "auto" runs the fused Pallas VMEM kernel on TPU
+    (ops/pallas_restir.py — zero HBM intermediates; the jnp planes still
+    cost ~23 ms/frame at 1080p), "jnp" forces the plane formulation
+    (CPU, differentiable paths, and the equivalence oracle).
 
     All `candidates` rounds of weighted reservoir sampling run as (P, K)
     planes: the LCG seed chain is value-independent (rng.rnd_chain), so
@@ -194,19 +200,39 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     k = candidates
     num_lights = lights.num
 
+    if kernel == "auto" and jax.default_backend() == "tpu":
+        from sunray_tpu.ops.pallas_restir import ris_audition_pallas
+
+        got = ris_audition_pallas(
+            lights.v0, lights.v1, lights.v2, lights.emission, seed,
+            hit_pos, hit_normal.astype(jnp.float32),
+            v_view.astype(jnp.float32), albedo.astype(jnp.float32),
+            roughness.astype(jnp.float32), metallic.astype(jnp.float32),
+            k, enable,
+        )
+        if got is not None:   # None: light table too big for the kernel
+            seed2, fields = got
+            return seed2, ReservoirDI.empty(p).replace(**fields)
+
+    # Candidate planes run (K, P) — candidates on SUBLANES, pixels on
+    # lanes — so the per-candidate reservoir chain and winner selects
+    # below read contiguous ROWS. The first cut used (P, K) and each
+    # plane[:, i] column slice was a strided read of the whole tiled
+    # array: the 16-step chain alone profiled ~13 ms/frame at 1080p.
     seed, draws = rng_mod.rnd_chain(seed, 4 * k)       # (P, 4K)
-    u_pick = draws[:, 0::4]
-    u1 = draws[:, 1::4]
-    u2 = draws[:, 2::4]
-    u_keep = draws[:, 3::4]
+    draws = draws.T                                    # one relayout
+    u_pick = draws[0::4]
+    u1 = draws[1::4]
+    u2 = draws[2::4]
+    u_keep = draws[3::4]
 
     idx = jnp.minimum(
         (u_pick * num_lights).astype(jnp.int32), num_lights - 1
-    )                                                   # (P, K)
+    )                                                   # (K, P)
 
-    # sample_point, planar (component planes — a (P, K, 3) array would
+    # sample_point, planar (component planes — a (K, P, 3) array would
     # tile-pad its trailing dim; CLAUDE.md memory rule).
-    v0 = gather_cols(lights.v0, idx)                    # 3 x (P, K)
+    v0 = gather_cols(lights.v0, idx)                    # 3 x (K, P)
     v1 = gather_cols(lights.v1, idx)
     v2 = gather_cols(lights.v2, idx)
     em = gather_cols(lights.emission, idx)
@@ -227,36 +253,37 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     bw = 1.0 - bu - bv
     pos = [v0[a] * bu + v1[a] * bv + v2[a] * bw for a in range(3)]
 
-    # eval_unshadowed_light, planar; hit attributes broadcast (P, 1).
-    px = [hit_pos[:, a : a + 1] for a in range(3)]
-    nx = [hit_normal[:, a : a + 1] for a in range(3)]
-    vx = [v_view[:, a : a + 1] for a in range(3)]
-    al = [albedo[:, a : a + 1] for a in range(3)]
+    # eval_unshadowed_light, planar; hit attributes broadcast (1, P).
+    px = [hit_pos[:, a][None, :] for a in range(3)]
+    nx = [hit_normal[:, a][None, :] for a in range(3)]
+    vx = [v_view[:, a][None, :] for a in range(3)]
+    al = [albedo[:, a][None, :] for a in range(3)]
     p_hat, _, _ = eval_p_hat_planar(
-        px, nx, vx, al, roughness[:, None], metallic[:, None],
+        px, nx, vx, al, roughness[None, :], metallic[None, :],
         em, pos, nrm,
     )
 
     p_y = 1.0 / jnp.maximum(num_lights * area, 1e-4)
-    wi = jnp.where(enable[:, None], p_hat / p_y, 0.0)   # (P, K)
+    wi = jnp.where(enable[None, :], p_hat / p_y, 0.0)   # (K, P)
 
-    # Sequential reservoir chain, unrolled on (P,) slices (adds in the
-    # exact order of the sequential reference — cumsum would reassociate).
+    # Sequential reservoir chain, unrolled on contiguous (P,) rows (adds
+    # in the exact order of the sequential reference — cumsum would
+    # reassociate).
     w_sum = jnp.zeros((p,), jnp.float32)
     slot = jnp.full((p,), -1, jnp.int32)
     for i in range(k):
-        wi_i = wi[:, i]
+        wi_i = wi[i]
         w_sum = w_sum + wi_i
-        take = enable & (u_keep[:, i] < wi_i / jnp.maximum(w_sum, 1e-4))
+        take = enable & (u_keep[i] < wi_i / jnp.maximum(w_sum, 1e-4))
         slot = jnp.where(take, i, slot)
     m = jnp.where(enable, float(k), 0.0)
 
-    # Winner extraction: select chain over the K planes (zeros when no
-    # candidate was ever taken — ReservoirDI.empty's values).
+    # Winner extraction: select chain over the K row planes (zeros when
+    # no candidate was ever taken — ReservoirDI.empty's values).
     def pick_plane(plane):
         val = jnp.zeros((p,), plane.dtype)
         for i in range(k):
-            val = jnp.where(slot == i, plane[:, i], val)
+            val = jnp.where(slot == i, plane[i], val)
         return val
 
     r = ReservoirDI.empty(p).replace(

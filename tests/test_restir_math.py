@@ -161,3 +161,56 @@ class TestBatchedAuditionExact:
                 np.asarray(getattr(r_b, name)),
                 err_msg=name,
             )
+
+
+class TestPallasAuditionMatches:
+    """The fused Pallas audition (ops/pallas_restir.py) vs the jnp plane
+    formulation: same draws, same op order — differences bounded at FMA
+    noise with a take-flip allowance (cf. TestBatchedAuditionExact)."""
+
+    def test_matches_jnp(self):
+        from sunray_tpu.ops.pallas_restir import ris_audition_pallas
+
+        p = 4096
+        scene = cornell_box()
+        lights = restir.Lights(scene)
+        rng = np.random.default_rng(10)
+        pos = jnp.asarray(rng.uniform(0, 2, (p, 3)), jnp.float32)
+        n = rng.normal(size=(p, 3)); n /= np.linalg.norm(n, axis=1,
+                                                         keepdims=True)
+        v = rng.normal(size=(p, 3)); v /= np.linalg.norm(v, axis=1,
+                                                         keepdims=True)
+        n = jnp.asarray(n, jnp.float32)
+        v = jnp.asarray(v, jnp.float32)
+        alb = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+        rough = jnp.asarray(rng.uniform(0.05, 1, (p,)), jnp.float32)
+        metal = jnp.asarray(rng.uniform(0, 1, (p,)), jnp.float32)
+        seed0 = jnp.asarray(rng.integers(0, 2**32, p, dtype=np.uint32))
+        enable = jnp.asarray(rng.random(p) > 0.2)
+
+        s_j, r_j = restir.ris_audition(
+            lights, seed0, pos, n, v, alb, rough, metal, 16, enable,
+            kernel="jnp",
+        )
+        s_p, f_p = ris_audition_pallas(
+            lights.v0, lights.v1, lights.v2, lights.emission, seed0,
+            pos, n, v, alb, rough, metal, 16, enable,
+        )
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_j))
+        # Scalar accumulators: tight tolerance; field agreement allows
+        # take-flips on ulp-level p_hat differences.
+        np.testing.assert_allclose(np.asarray(f_p["w_sum"]),
+                                   np.asarray(r_j.w_sum), rtol=5e-4,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(f_p["M"]),
+                                      np.asarray(r_j.M))
+        agree = (np.asarray(f_p["light_idx"])
+                 == np.asarray(r_j.light_idx)).mean()
+        assert agree > 0.995, f"winner agreement {agree}"
+        same = np.asarray(f_p["light_idx"]) == np.asarray(r_j.light_idx)
+        np.testing.assert_allclose(
+            np.asarray(f_p["light_pos"])[same],
+            np.asarray(r_j.light_pos)[same], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(f_p["W"])[same], np.asarray(r_j.W)[same],
+            rtol=3e-4, atol=1e-5)
