@@ -88,11 +88,24 @@ def _atrous_kernel(ca_ref, cb_ref, cc_ref, cd_ref,
 
     wins_c = stitch(ca_ref, cb_ref, cc_ref, cd_ref, 3)
     wins_g = stitch(ga_ref, gb_ref, gc_ref, gd_ref, 8)
+    # Demodulated illuminance + luma precomputed ONCE over the window:
+    # every tap used to redo 3 divides + a luma per neighbor (24x
+    # duplicate work per pixel per pass). Values are element-identical
+    # (same formula), only deduplicated.
+    wins_il = [
+        wins_c[k] / jnp.maximum(wins_g[4 + k], 0.001) for k in range(3)
+    ]
+    wins_luma = _luma(wins_il)
 
     def tap(wins, dy, dx):
         r0 = halo + dy * s
         c0 = halo + dx * s
         return [wn[r0 : r0 + block, c0 : c0 + cw] for wn in wins]
+
+    def tap1(win, dy, dx):
+        r0 = halo + dy * s
+        c0 = halo + dx * s
+        return win[r0 : r0 + block, c0 : c0 + cw]
 
     ctr = tap(wins_c, 0, 0)
     ctr_g = tap(wins_g, 0, 0)
@@ -100,8 +113,8 @@ def _atrous_kernel(ca_ref, cb_ref, cc_ref, cd_ref,
     c_nrm = ctr_g[1:4]
     c_dif = [jnp.maximum(d, 0.001) for d in ctr_g[4:7]]
     bypass = ctr_g[7] > 0.5
-    c_il = [ctr[k] / c_dif[k] for k in range(3)]
-    c_luma = _luma(c_il)
+    c_il = tap(wins_il, 0, 0)
+    c_luma = tap1(wins_luma, 0, 0)
 
     kc = KERNEL_1D[2] * KERNEL_1D[2]
     acc = [il * kc for il in c_il]
@@ -114,13 +127,12 @@ def _atrous_kernel(ca_ref, cb_ref, cc_ref, cd_ref,
         for dx in range(-2, 3):
             if dy == 0 and dx == 0:
                 continue
-            t = tap(wins_c, dy, dx)
             tg = tap(wins_g, dy, dx)
             s_depth = tg[0]
             s_nrm = tg[1:4]
             s_dif = tg[4:7]
-            s_il = [t[k] / jnp.maximum(s_dif[k], 0.001) for k in range(3)]
-            s_luma = _luma(s_il)
+            s_il = tap(wins_il, dy, dx)
+            s_luma = tap1(wins_luma, dy, dx)
             # center diffuse clamped, neighbor raw — matches the jnp pass.
             dd = [c_dif[k] - s_dif[k] for k in range(3)]
             diffuse_diff = jnp.sqrt(

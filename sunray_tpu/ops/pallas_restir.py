@@ -290,3 +290,270 @@ def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
         W=unplane(9),
     )
     return seed_out, fields
+
+
+def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
+                       tab_ref, out_ref, *, t_n, num_lights, w_clamp,
+                       m_clamp, w_spatial_clamp):
+    """Phase-B DI spatial reuse at frozen hits (ray_gen_final.slang:
+    139-222): center merge + t_n neighbor-tap merges + the winner's W
+    resolve and f_y evaluation, all in VMEM.
+
+    attr (128, L): audition attr layout (pos/normal/view/albedo/rough/
+                   metal planes).
+    res  (80, L):  center reservoir planes — 0-2 light_pos, 3-5
+                   light_normal, 6 W, 7 M, 8 light_idx (bitcast) —
+                   (rest pad).
+    tap  (t_n*80, L): per tap: same 9 planes + 9 ok (int bitcast).
+    seed (8, L) uint32; flag (8, L) int32: pending.
+    tab  (16, Lp) light table (emission rows 9-11 used).
+    out  (128, L): 0-2 light_pos, 3-5 light_normal, 6 w_sum, 7 M,
+                   8 light_idx, 9 w_spatial (clamped), 10-12 f_y_w rgb,
+                   13 has (0/1), 15 seed'."""
+
+    def attr(i):
+        return attr_ref[8 * i : 8 * i + 8, :]
+
+    px = [attr(0), attr(1), attr(2)]
+    nx = [attr(3), attr(4), attr(5)]
+    vx = [attr(6), attr(7), attr(8)]
+    al = [attr(9), attr(10), attr(11)]
+    rough = attr(12)
+    metal = attr(13)
+    pending = flag_ref[...] > 0
+    seed = seed_ref[...]
+
+    ndv = jnp.maximum(
+        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
+    )
+    a_r = rough * rough
+    a2 = a_r * a_r
+
+    def eval_light(lpos, lnrm, em):
+        """Returns (p_hat, f_y rgb list) — rt_utils.slang:203-234."""
+        l = [lpos[c] - px[c] for c in range(3)]
+        d2 = l[0] * l[0] + l[1] * l[1] + l[2] * l[2]
+        dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 1e-20)), 1e-4)
+        l = [l[c] / dist for c in range(3)]
+        ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
+        cos_light = jnp.maximum(
+            -(lnrm[0] * l[0] + lnrm[1] * l[1] + lnrm[2] * l[2]), 0.0
+        )
+        lit = (ndl > 0.0) & (cos_light > 0.0)
+        h = [vx[c] + l[c] for c in range(3)]
+        h_n = jnp.maximum(
+            jnp.sqrt(jnp.maximum(h[0] * h[0] + h[1] * h[1]
+                                 + h[2] * h[2], 1e-20)), 1e-12
+        )
+        h = [h[c] / h_n for c in range(3)]
+        ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
+        vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
+        denom = ndh * ndh * (a2 - 1.0) + 1.0
+        d_term = a2 / (PI * denom * denom)
+        ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+        ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+        v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
+        fres5 = (1.0 - vdh) ** 5
+        geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
+        p_hat = None
+        fy = []
+        for c in range(3):
+            f0 = 0.04 * (1.0 - metal) + al[c] * metal
+            f = f0 + (1.0 - f0) * fres5
+            specular = d_term * v_term * f
+            diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
+            out_c = em[c] * (diffuse + specular) * geometry
+            out_c = jnp.where(lit, out_c, 0.0)
+            fy.append(out_c)
+            p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
+        return p_hat, fy
+
+    def em_of(idx):
+        vals = [jnp.zeros_like(rough) for _ in range(3)]
+        for row in range(num_lights):
+            m = idx == row
+            for c in range(3):
+                vals[c] = jnp.where(m, tab_ref[9 + c, row], vals[c])
+        return vals
+
+    def res_planes(base_ref, off):
+        def g(i):
+            return base_ref[off + 8 * i : off + 8 * i + 8, :]
+        lpos = [g(0), g(1), g(2)]
+        lnrm = [g(3), g(4), g(5)]
+        w = g(6)
+        m = g(7)
+        idx = jax.lax.bitcast_convert_type(g(8), jnp.int32)
+        return lpos, lnrm, w, m, idx
+
+    # Center merge (the reservoir's own sample; ray_gen_final:147-158).
+    c_pos, c_nrm, c_w, c_m, c_idx_raw = res_planes(res_ref, 0)
+    c_ok = pending & (c_w > 0.0) & (c_idx_raw < num_lights)
+    c_idx = jnp.minimum(c_idx_raw, num_lights - 1)
+    p_hat_c, _ = eval_light(c_pos, c_nrm, em_of(c_idx))
+    seed, u_m = _rnd(seed)
+
+    zero = jnp.zeros_like(rough)
+    w_sum = jnp.where(c_ok, p_hat_c * c_w * c_m, 0.0)
+    m_acc = jnp.where(c_ok, c_m, 0.0)
+    take = c_ok & (u_m < w_sum / jnp.maximum(w_sum, 1e-4))
+    r_idx = jnp.where(take, c_idx, jnp.zeros_like(c_idx))
+    r_pos = [jnp.where(take, c_pos[c], zero) for c in range(3)]
+    r_nrm = [jnp.where(take, c_nrm[c], zero) for c in range(3)]
+
+    for t in range(t_n):
+        lpos, lnrm, w_raw, m_raw, idx_raw = res_planes(tap_ref, t * 80)
+        ok = jax.lax.bitcast_convert_type(
+            tap_ref[t * 80 + 72 : t * 80 + 80, :], jnp.int32
+        ) > 0
+        w_cl = jnp.minimum(w_raw, w_clamp)
+        m_cl = jnp.minimum(m_raw, m_clamp)
+        use = pending & ok & (w_cl > 0.0) & (idx_raw < num_lights)
+        idx = jnp.minimum(idx_raw, num_lights - 1)
+        p_hat_n, _ = eval_light(lpos, lnrm, em_of(idx))
+        m_acc = m_acc + jnp.where(use, m_cl, 0.0)
+        weight = jnp.where(use, p_hat_n * w_cl * m_cl, 0.0)
+        w_sum = w_sum + weight
+        seed, u = _rnd(seed)
+        take = use & (u < weight / jnp.maximum(w_sum, 1e-4))
+        r_idx = jnp.where(take, idx, r_idx)
+        for c in range(3):
+            r_pos[c] = jnp.where(take, lpos[c], r_pos[c])
+            r_nrm[c] = jnp.where(take, lnrm[c], r_nrm[c])
+
+    # Resolve + clamp + winner f_y (ray_gen_final.slang:203-222).
+    has = pending & (w_sum > 0.0)
+    p_hat_w, f_y_w = eval_light(r_pos, r_nrm, em_of(r_idx))
+    w_spatial = w_sum / jnp.maximum(m_acc * p_hat_w, 1e-3)
+    w_spatial = jnp.minimum(w_spatial, w_spatial_clamp)
+
+    def put(i, plane):
+        out_ref[8 * i : 8 * i + 8, :] = plane
+
+    put(0, r_pos[0])
+    put(1, r_pos[1])
+    put(2, r_pos[2])
+    put(3, r_nrm[0])
+    put(4, r_nrm[1])
+    put(5, r_nrm[2])
+    put(6, w_sum)
+    put(7, m_acc)
+    put(8, jax.lax.bitcast_convert_type(r_idx, jnp.float32))
+    put(9, w_spatial)
+    put(10, f_y_w[0])
+    put(11, f_y_w[1])
+    put(12, f_y_w[2])
+    put(13, jnp.where(has, 1.0, 0.0))
+    put(14, zero)
+    put(15, jax.lax.bitcast_convert_type(seed, jnp.float32))
+
+
+def di_spatial_pallas(lights_em_tab, seed, center, taps, pending,
+                      hit_pos, hit_normal, v_view, albedo, roughness,
+                      metallic, cfg_clamps):
+    """Phase-B DI spatial reuse forward. center: dict of (P,)/(P,3)
+    reservoir fields; taps: list of (fields dict, ok (P,) bool);
+    lights_em_tab: (16, Lp) packed light table (as the audition builds).
+    cfg_clamps: (w_clamp, m_clamp, w_spatial_clamp, num_lights).
+    Returns (seed', dict) or None if lights exceed MAX_LIGHTS."""
+    w_clamp, m_clamp, w_spatial_clamp, num_lights = cfg_clamps
+    if num_lights > MAX_LIGHTS:
+        return None
+    p = hit_pos.shape[0]
+    t_n = len(taps)
+    np_ = _pad_to(max(p, BLOCK), BLOCK)
+    rows = np_ // SUB
+
+    def plane(x, dtype=jnp.float32):
+        buf = jnp.zeros((np_,), dtype)
+        if dtype == jnp.float32:
+            buf = buf.at[:p].set(x.astype(jnp.float32))
+        else:
+            buf = buf.at[:p].set(x)
+        if dtype != jnp.float32:
+            buf = jax.lax.bitcast_convert_type(buf, jnp.float32)
+        return buf.reshape(SUB, rows)
+
+    attr = jnp.concatenate(
+        [plane(hit_pos[:, 0]), plane(hit_pos[:, 1]), plane(hit_pos[:, 2]),
+         plane(hit_normal[:, 0]), plane(hit_normal[:, 1]),
+         plane(hit_normal[:, 2]),
+         plane(v_view[:, 0]), plane(v_view[:, 1]), plane(v_view[:, 2]),
+         plane(albedo[:, 0]), plane(albedo[:, 1]), plane(albedo[:, 2]),
+         plane(roughness), plane(metallic),
+         jnp.zeros((2 * SUB, rows), jnp.float32)],
+        axis=0,
+    )
+
+    def res_block(f, ok=None):
+        parts = [
+            plane(f["light_pos"][:, 0]), plane(f["light_pos"][:, 1]),
+            plane(f["light_pos"][:, 2]),
+            plane(f["light_normal"][:, 0]), plane(f["light_normal"][:, 1]),
+            plane(f["light_normal"][:, 2]),
+            plane(f["W"]), plane(f["M"]),
+            plane(f["light_idx"].astype(jnp.int32), jnp.int32),
+        ]
+        parts.append(
+            plane((ok if ok is not None
+                   else jnp.ones((p,), bool)).astype(jnp.int32), jnp.int32)
+        )
+        return jnp.concatenate(parts, axis=0)          # (80, rows)
+
+    res = res_block(center)
+    tap = (jnp.concatenate([res_block(f, ok) for f, ok in taps], axis=0)
+           if t_n else jnp.zeros((80, rows), jnp.float32))
+    seed_p = jnp.zeros((np_,), jnp.uint32).at[:p].set(seed).reshape(
+        SUB, rows
+    )
+    flag = plane(pending.astype(jnp.int32), jnp.int32)
+    flag = jax.lax.bitcast_convert_type(flag, jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _di_spatial_kernel, t_n=t_n, num_lights=num_lights,
+            w_clamp=w_clamp, m_clamp=m_clamp,
+            w_spatial_clamp=w_spatial_clamp,
+        ),
+        grid=(rows // LANES,),
+        in_specs=[
+            pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((80, LANES), lambda j: (0, j)),
+            pl.BlockSpec((max(t_n, 1) * 80, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((16, lights_em_tab.shape[1]), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
+        interpret=_interpret(),
+    )(attr, res, tap, seed_p, flag, lights_em_tab)
+
+    def unplane(i, dtype=jnp.float32):
+        flat = out[8 * i : 8 * i + 8, :].reshape(np_)[:p]
+        if dtype != jnp.float32:
+            return jax.lax.bitcast_convert_type(flat, dtype)
+        return flat
+
+    return unplane(15, jnp.uint32), dict(
+        light_pos=jnp.stack([unplane(0), unplane(1), unplane(2)], axis=-1),
+        light_normal=jnp.stack([unplane(3), unplane(4), unplane(5)],
+                               axis=-1),
+        w_sum=unplane(6),
+        M=unplane(7),
+        light_idx=unplane(8, jnp.int32),
+        w_spatial=unplane(9),
+        f_y_w=jnp.stack([unplane(10), unplane(11), unplane(12)], axis=-1),
+        has=unplane(13) > 0.5,
+    )
+
+
+def pack_light_table(light_v0, light_v1, light_v2, light_em):
+    l = light_v0.shape[0]
+    lp = _pad_to(l, 128)
+    tab = jnp.zeros((16, lp), jnp.float32)
+    tab = tab.at[0:3, :l].set(light_v0.T)
+    tab = tab.at[3:6, :l].set(light_v1.T)
+    tab = tab.at[6:9, :l].set(light_v2.T)
+    tab = tab.at[9:12, :l].set(light_em.T)
+    return tab

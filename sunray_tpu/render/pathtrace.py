@@ -531,19 +531,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         return fetch
 
     # ---- DI spatial (ray_gen_final.slang:139-222) ----
-    spatial = restir.ReservoirDI.empty(p)
-    center = r_di
-    c_ok = pending & (center.W > 0.0) & (center.light_idx < num_lights)
-    center = center.replace(
-        light_idx=jnp.minimum(center.light_idx, num_lights - 1)
-    )
-    p_hat_c, _ = lights.eval_p_hat(
-        center.light_idx, center.light_pos, center.light_normal,
-        pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
-    )
-    seed, u_m = rng_mod.rnd(seed)
-    spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
-
+    seq_taps = os.environ.get("SUNRAY_TPU_SEQ_TAPS", "0") == "1"
     di_taps = (
         _shared_taps(cfg, frame_count, cfg.di_spatial_samples,
                      cfg.di_spatial_radius, 0x51A7D1)
@@ -585,8 +573,14 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
         return seed, spatial
 
-    seq_taps = os.environ.get("SUNRAY_TPU_SEQ_TAPS", "0") == "1"
-    if shared and cfg.di_spatial_samples > 0 and not seq_taps:
+    def _di_spatial_jnp(seed, spatial):
+        if not (shared and cfg.di_spatial_samples > 0 and not seq_taps):
+            # Per-pixel (reference-exact) taps — and, under
+            # SUNRAY_TPU_SEQ_TAPS=1, the sequential shared-tap oracle.
+            carry = (seed, spatial)
+            for k in range(cfg.di_spatial_samples):
+                carry = di_body(carry, k)
+            return carry
         # Batched shared taps: the T neighbor fetches stack into (P, T)
         # planes, ONE planar p_hat pass reads the center attributes once
         # (the per-tap evals re-read them — the multiply-reduce wall, see
@@ -653,24 +647,72 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
                 axis=-1,
             ),
         )
-    else:
-        # Per-pixel (reference-exact) taps — and, under
-        # SUNRAY_TPU_SEQ_TAPS=1, the sequential shared-tap oracle for the
-        # batched branch's bit-exactness test. Unrolled (static count;
-        # fori boundaries on TPU materialize the carry and block fusion,
-        # ~10x slower).
-        carry = (seed, spatial)
-        for k in range(cfg.di_spatial_samples):
-            carry = di_body(carry, k)
-        seed, spatial = carry
+        return seed, spatial
 
-    has = pending & (spatial.w_sum > 0.0)
-    p_hat_w, f_y_w = lights.eval_p_hat(
-        spatial.light_idx, spatial.light_pos, spatial.light_normal,
-        pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
+    use_di_kernel = (
+        shared and not seq_taps and not cfg.differentiable
+        and num_lights <= 32 and jax.default_backend() == "tpu"
     )
-    w_spatial = spatial.w_sum / jnp.maximum(spatial.M * p_hat_w, 1e-3)
-    w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
+    if use_di_kernel:
+        # Whole phase-B DI reuse in one Pallas VMEM pass (center merge +
+        # taps + resolve + winner f_y; ops/pallas_restir.py). The tap
+        # FETCHES stay XLA shifts; the jnp branches below remain the
+        # CPU/differentiable/oracle paths.
+        from sunray_tpu.ops.pallas_restir import (
+            di_spatial_pallas,
+            pack_light_table,
+        )
+
+        fetched = [di_fetch(dx, dy) for dx, dy in di_taps] \
+            if cfg.di_spatial_samples > 0 else []
+        taps_k = [
+            (dict(light_pos=f[0].light_pos, light_normal=f[0].light_normal,
+                  W=f[0].W, M=f[0].M, light_idx=f[0].light_idx), f[2])
+            for f in fetched
+        ]
+        center_k = dict(
+            light_pos=r_di.light_pos, light_normal=r_di.light_normal,
+            W=r_di.W, M=r_di.M, light_idx=r_di.light_idx,
+        )
+        seed, outk = di_spatial_pallas(
+            pack_light_table(lights.v0, lights.v1, lights.v2,
+                             lights.emission),
+            seed, center_k, taps_k, pending,
+            pos, normal, v_view, albedo, rough, metal,
+            (cfg.di_temporal_w_clamp, cfg.di_temporal_m_clamp,
+             cfg.di_spatial_w_clamp, num_lights),
+        )
+        spatial = restir.ReservoirDI.empty(p).replace(
+            light_pos=outk["light_pos"], light_normal=outk["light_normal"],
+            w_sum=outk["w_sum"], M=outk["M"], light_idx=outk["light_idx"],
+        )
+        has = outk["has"]
+        w_spatial = outk["w_spatial"]
+        f_y_w = outk["f_y_w"]
+    else:
+        spatial = restir.ReservoirDI.empty(p)
+        center = r_di
+        c_ok = pending & (center.W > 0.0) & (center.light_idx < num_lights)
+        center = center.replace(
+            light_idx=jnp.minimum(center.light_idx, num_lights - 1)
+        )
+        p_hat_c, _ = lights.eval_p_hat(
+            center.light_idx, center.light_pos, center.light_normal,
+            pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
+        )
+        seed, u_m = rng_mod.rnd(seed)
+        spatial = restir.merge_di(spatial, center, p_hat_c, u_m, c_ok)
+        seed, spatial = _di_spatial_jnp(seed, spatial)
+        has = pending & (spatial.w_sum > 0.0)
+        p_hat_w, f_y_w = lights.eval_p_hat(
+            spatial.light_idx, spatial.light_pos, spatial.light_normal,
+            pos, normal_s, v_view_s, albedo_s, rough_s, metal_s,
+        )
+        w_spatial = spatial.w_sum / jnp.maximum(
+            spatial.M * p_hat_w, 1e-3
+        )
+        w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
+
 
     sdir = spatial.light_pos - pos
     sdist = jnp.maximum(vec_norm(sdir), 1e-4)

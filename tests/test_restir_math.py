@@ -214,3 +214,117 @@ class TestPallasAuditionMatches:
         np.testing.assert_allclose(
             np.asarray(f_p["W"])[same], np.asarray(r_j.W)[same],
             rtol=3e-4, atol=1e-5)
+
+
+class TestPallasDiSpatialMatches:
+    """ops/pallas_restir.di_spatial_pallas vs the jnp center-merge +
+    tap-merge + resolve chain on synthetic reservoirs (interpret mode)."""
+
+    def test_matches_jnp_chain(self):
+        import jax
+
+        from sunray_tpu.ops import rng as rng_mod
+        from sunray_tpu.ops.pallas_restir import (
+            di_spatial_pallas,
+            pack_light_table,
+        )
+
+        p = 4096
+        scene = cornell_box()
+        lights = restir.Lights(scene)
+        L = lights.num
+        rng = np.random.default_rng(21)
+
+        def mk_res(seed):
+            r2 = np.random.default_rng(seed)
+            idx = r2.integers(0, L, p).astype(np.int32)
+            lv = np.asarray(lights.v0)
+            pos = lv[idx] + r2.normal(0, 0.01, (p, 3)).astype(np.float32)
+            nrm = np.tile(np.asarray([0.0, -1.0, 0.0], np.float32), (p, 1))
+            return dict(
+                light_pos=jnp.asarray(pos, jnp.float32),
+                light_normal=jnp.asarray(nrm),
+                W=jnp.asarray(r2.uniform(0, 30, p), jnp.float32),
+                M=jnp.asarray(r2.uniform(0, 15, p), jnp.float32),
+                light_idx=jnp.asarray(idx),
+            )
+
+        pos = jnp.asarray(rng.uniform(0.2, 1.8, (p, 3)), jnp.float32)
+        n = rng.normal(size=(p, 3)); n /= np.linalg.norm(n, axis=1,
+                                                         keepdims=True)
+        v = rng.normal(size=(p, 3)); v /= np.linalg.norm(v, axis=1,
+                                                         keepdims=True)
+        n = jnp.asarray(n, jnp.float32)
+        v = jnp.asarray(v, jnp.float32)
+        alb = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+        rough = jnp.asarray(rng.uniform(0.05, 1, (p,)), jnp.float32)
+        metal = jnp.asarray(rng.uniform(0, 1, (p,)), jnp.float32)
+        pending = jnp.asarray(rng.random(p) > 0.2)
+        seed0 = jnp.asarray(rng.integers(0, 2**32, p, dtype=np.uint32))
+
+        center = mk_res(1)
+        taps = [(mk_res(2), jnp.asarray(rng.random(p) > 0.3)),
+                (mk_res(3), jnp.asarray(rng.random(p) > 0.3))]
+        clamps = (20.0, 10.0, 10.0, L)
+
+        s_k, outk = di_spatial_pallas(
+            pack_light_table(lights.v0, lights.v1, lights.v2,
+                             lights.emission),
+            seed0, center, taps, pending, pos, n, v, alb, rough, metal,
+            clamps,
+        )
+
+        # jnp reference chain (merge_di semantics).
+        def as_res(f):
+            return restir.ReservoirDI.empty(p).replace(**f)
+
+        c = as_res(center)
+        c_ok = pending & (c.W > 0.0) & (c.light_idx < L)
+        c = c.replace(light_idx=jnp.minimum(c.light_idx, L - 1))
+        p_hat_c, _ = lights.eval_p_hat(
+            c.light_idx, c.light_pos, c.light_normal,
+            pos, n, v, alb, rough, metal)
+        seed, u_m = rng_mod.rnd(seed0)
+        spatial = restir.merge_di(restir.ReservoirDI.empty(p), c,
+                                  p_hat_c, u_m, c_ok)
+        for f, ok in taps:
+            nr = as_res(f)
+            nr = nr.replace(W=jnp.minimum(nr.W, clamps[0]),
+                            M=jnp.minimum(nr.M, clamps[1]))
+            use = pending & ok & (nr.W > 0.0) & (nr.light_idx < L)
+            nr = nr.replace(light_idx=jnp.minimum(nr.light_idx, L - 1))
+            p_hat_n, _ = lights.eval_p_hat(
+                nr.light_idx, nr.light_pos, nr.light_normal,
+                pos, n, v, alb, rough, metal)
+            seed, u = rng_mod.rnd(seed)
+            spatial = restir.merge_di(spatial, nr, p_hat_n, u, use)
+        has = pending & (spatial.w_sum > 0.0)
+        p_hat_w, f_y_w = lights.eval_p_hat(
+            spatial.light_idx, spatial.light_pos, spatial.light_normal,
+            pos, n, v, alb, rough, metal)
+        w_spatial = jnp.minimum(
+            spatial.w_sum / jnp.maximum(spatial.M * p_hat_w, 1e-3),
+            clamps[2])
+
+        np.testing.assert_array_equal(np.asarray(s_k), np.asarray(seed))
+        np.testing.assert_allclose(np.asarray(outk["w_sum"]),
+                                   np.asarray(spatial.w_sum),
+                                   rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(outk["M"]),
+                                   np.asarray(spatial.M), rtol=1e-6,
+                                   atol=0)
+        agree = (np.asarray(outk["light_idx"])
+                 == np.asarray(spatial.light_idx)).mean()
+        assert agree > 0.99, f"winner agreement {agree}"
+        same = (np.asarray(outk["light_idx"])
+                == np.asarray(spatial.light_idx))
+        same &= np.abs(np.asarray(outk["light_pos"])
+                       - np.asarray(spatial.light_pos)).max(-1) < 1e-5
+        np.testing.assert_allclose(np.asarray(outk["w_spatial"])[same],
+                                   np.asarray(w_spatial)[same],
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(outk["f_y_w"])[same],
+                                   np.asarray(f_y_w)[same],
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(outk["has"])[same],
+                                      np.asarray(has)[same])
