@@ -6,7 +6,10 @@ frame time, and converts to rays/s using the actual per-frame trace count:
 
   rays/frame = P * (ris_walk_rounds        # closest-hit rounds, pass 1
                + 3                          # DI visibility + GI bounce + GI NEE
-               + final_walk_rounds          # closest-hit rounds, pass 2
+               + final_walk_rounds - 1      # closest-hit rounds, pass 2
+                                            # (round 0 REUSES pass 1's
+                                            # stored primary hit — not a
+                                            # cast ray, not counted)
                + 2 + gi_spatial_samples)    # DI winner + GI spatial + GI final
 
 Walk round counts are data-dependent (early-exit while_loops) and are read
@@ -100,7 +103,8 @@ def main():
     final_rounds = int(aux["final_rounds"])
     p = w * h
     rays_per_frame = p * (
-        ris_rounds + 3 + final_rounds + 2 + cfg.gi_spatial_samples
+        ris_rounds + 3 + max(final_rounds - 1, 0) + 2
+        + cfg.gi_spatial_samples
     )
     rays_per_sec = rays_per_frame / dt
 

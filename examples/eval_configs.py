@@ -50,8 +50,11 @@ def run_config(name, scene, cam, cfg, frames):
     img = np.asarray(ldr)
     p = cfg.width * cfg.height
     # final_rounds is already summed over cfg.samples; the fixed
-    # visibility/shadow rays of the final pass run once per sample.
-    rays = p * (int(aux["ris_rounds"]) + 3 + int(aux["final_rounds"])
+    # visibility/shadow rays of the final pass run once per sample. Each
+    # sample's walk round 0 reuses the RIS pass's stored primary hit (no
+    # ray cast) — subtract cfg.samples.
+    rays = p * (int(aux["ris_rounds"]) + 3
+                + max(int(aux["final_rounds"]) - cfg.samples, 0)
                 + cfg.samples * (2 + cfg.gi_spatial_samples))
     return {
         "config": name,

@@ -278,29 +278,15 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         w, h, enable_di, grid=grid,
     )
 
-    # Visibility reuse (ray_gen_ris.slang:277-302).
+    # Visibility reuse (ray_gen_ris.slang:277-302) — the ray is computed
+    # here but TRACED together with the GI NEE shadow ray below (the two
+    # queries are independent; one 2P-ray kernel call instead of two).
     vis_vec = r_di.light_pos - walk["pos"]
     vis_dist = jnp.maximum(vec_norm(vis_vec), 1e-4)
     vis_dir = vis_vec / vis_dist[:, None]
     facing = dot(walk["normal"], vis_dir) > 0.0
-    occluded = trace_occluded(
-        tracer, walk["pos"] + walk["normal"] * 1e-3, vis_dir, vis_dist,
-        exclude=lights.world_tri[r_di.light_idx],
-    )
-    keep_w = (r_di.W > 0.0) & facing & ~occluded
-    r_di = r_di.replace(
-        W=jnp.where(keep_w, r_di.W, 0.0),
-        hit_normal=jnp.where(found[:, None], walk["normal"], 0.0),
-        depth=walk["virtual_distance"],
-    )
-    # Sky pixels store an empty reservoir (ray_gen_ris.slang:160-171).
-    r_di = jax.tree_util.tree_map(
-        lambda x, e: jnp.where(
-            found.reshape(found.shape + (1,) * (x.ndim - 1)), x, e
-        ),
-        r_di,
-        restir.ReservoirDI.empty(p),
-    )
+    vis_origin = walk["pos"] + walk["normal"] * 1e-3
+    vis_exclude = lights.world_tri[r_di.light_idx]
 
     # --- Phase 3: GI initial sample (ray_gen_ris.slang:311-406) ---
     seed, g1, g2 = rng_mod.rnd2(seed)
@@ -330,9 +316,32 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
     nee_cos_surf = jnp.maximum(dot(sample_normal, to_light), 0.0)
     nee_cos_light = jnp.maximum(dot(nee_normal, -to_light), 0.0)
     nee_try = gi_found & (nee_cos_surf > 0.0) & (nee_cos_light > 0.0)
-    nee_occ = trace_occluded(
-        tracer, sample_pos + sample_normal * 1e-3, to_light, nee_dist,
-        exclude=lights.world_tri[nee_idx], coherent=False,
+    occ2 = trace_occluded(
+        tracer,
+        jnp.concatenate([vis_origin, sample_pos + sample_normal * 1e-3],
+                        axis=0),
+        jnp.concatenate([vis_dir, to_light], axis=0),
+        jnp.concatenate([vis_dist, nee_dist], axis=0),
+        exclude=jnp.concatenate(
+            [vis_exclude, lights.world_tri[nee_idx]], axis=0
+        ),
+        coherent=False,
+    )
+    occluded = occ2[:p]
+    nee_occ = occ2[p:]
+    keep_w = (r_di.W > 0.0) & facing & ~occluded
+    r_di = r_di.replace(
+        W=jnp.where(keep_w, r_di.W, 0.0),
+        hit_normal=jnp.where(found[:, None], walk["normal"], 0.0),
+        depth=walk["virtual_distance"],
+    )
+    # Sky pixels store an empty reservoir (ray_gen_ris.slang:160-171).
+    r_di = jax.tree_util.tree_map(
+        lambda x, e: jnp.where(
+            found.reshape(found.shape + (1,) * (x.ndim - 1)), x, e
+        ),
+        r_di,
+        restir.ReservoirDI.empty(p),
     )
     nee_ok = nee_try & ~nee_occ
     nee_pdf_sa = (nee_dist * nee_dist) / jnp.maximum(

@@ -100,7 +100,8 @@ def _blue_noise_rands(cfg, frame_count, grid=None):
 
 def final_pass(scene, cfg, tracer, lights, mats, gbuf,
                r_di: restir.ReservoirDI, r_gi: restir.ReservoirGI,
-               frame_count, grid=None, sample_idx: int = 0):
+               frame_count, grid=None, sample_idx: int = 0,
+               first_hit=None):
     """-> raw HDR color (P, 3). grid: shard_map row sharding (ris_pass).
 
     sample_idx: which of cfg.samples per-pixel samples this evaluation is
@@ -155,10 +156,29 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     def cond(c):
         return (c["i"] < cfg.bounces) & jnp.any(c["active"])
 
-    def body(c, coherent=True):
+    def body(c, coherent=True, reuse=None):
         i = c["i"]
-        hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
-                            coherent=coherent)
+        if reuse is not None:
+            # The RIS pass already closest-traced these exact camera rays
+            # (gbuffer.primary_walk round 0); its stored winner is
+            # bit-identical to re-tracing (deterministic tracer), so the
+            # final walk's peeled first round reuses it. u/v zeros are
+            # fine: shade_hits recomputes them differentiably for hit
+            # lanes and never reads them for misses.
+            tri0, t0 = reuse
+            hm = tri0 >= 0
+            from sunray_tpu.ops import intersect as _isect
+
+            hit = _isect.Hit(
+                t=jnp.where(hm, t0, jnp.inf),
+                tri=jnp.maximum(tri0, 0),
+                u=jnp.zeros_like(t0),
+                v=jnp.zeros_like(t0),
+                hit=hm,
+            )
+        else:
+            hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
+                                coherent=coherent)
         surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
         live = c["active"] & surf.valid
         roughness = jnp.maximum(surf.roughness, 0.01)
@@ -309,7 +329,12 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     # peel=1: the first bounce round always runs; inlining it fuses the
     # trace/shade/BRDF body with the rest of the frame instead of paying
     # the while_loop carry materialization (ops/loops.py).
-    c = bounded_loop(cond, body, init, cfg.bounces, cfg.differentiable,
+    peel_body = (
+        (lambda c: body(c, reuse=first_hit)) if first_hit is not None
+        else body
+    )
+    c = bounded_loop(cond, peel_body, init, cfg.bounces,
+                     cfg.differentiable,
                      loop_body=lambda c: body(c, coherent=False),
                      peel=1)
     radiance = c["radiance"]
@@ -714,18 +739,13 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
         w_spatial = jnp.minimum(w_spatial, cfg.di_spatial_w_clamp)
 
 
+    # DI winner shadow ray — computed here, TRACED together with the GI
+    # final visibility ray below (independent queries; one 2P-ray call).
     sdir = spatial.light_pos - pos
     sdist = jnp.maximum(vec_norm(sdir), 1e-4)
     sdir = sdir / sdist[:, None]
     facing = dot(normal, sdir) > 0.0
-    occ = trace_occluded(
-        tracer, pos, sdir, sdist,
-        exclude=lights.world_tri[spatial.light_idx],
-    )
-    lit = has & facing & ~occ
-    radiance = radiance + jnp.where(
-        lit[:, None], f_y_w * throughput * w_spatial[:, None], 0.0
-    )
+    di_exclude = lights.world_tri[spatial.light_idx]
 
     # ---- GI spatial (ray_gen_final.slang:224-327) ----
     combined = r_gi  # own reservoir (identity gather elided)
@@ -948,8 +968,20 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     gdir = gvec / gdist[:, None]
     gndl = jnp.maximum(dot(normal, gdir), 0.0)
     try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
-    occ = trace_occluded(tracer, pos, gdir, gdist, exclude=combined.sample_tri)
-    ok_gi = try_gi & ~occ
+    occ2 = trace_occluded(
+        tracer,
+        jnp.concatenate([pos, pos], axis=0),
+        jnp.concatenate([sdir, gdir], axis=0),
+        jnp.concatenate([sdist, gdist], axis=0),
+        exclude=jnp.concatenate([di_exclude, combined.sample_tri], axis=0),
+        coherent=False,
+    )
+    # Radiance adds keep the original order (DI then GI) bit-exactly.
+    lit = has & facing & ~occ2[:p]
+    radiance = radiance + jnp.where(
+        lit[:, None], f_y_w * throughput * w_spatial[:, None], 0.0
+    )
+    ok_gi = try_gi & ~occ2[p:]
     f_diffuse = albedo * (1.0 - metal[:, None]) / PI
     radiance = radiance + jnp.where(
         ok_gi[:, None],

@@ -73,13 +73,15 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     )
     # cfg.samples > 1: average `samples` independently-seeded final passes
     # (in-frame spp — the reference is fixed 1 spp, ray_gen_final.slang:40).
+    first_hit = (_hit.first_tri, _hit.first_t)
     raw, final_rounds = final_pass(
-        scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count
+        scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
+        first_hit=first_hit,
     )
     for s in range(1, cfg.samples):
         raw_s, rounds_s = final_pass(
             scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
-            sample_idx=s,
+            sample_idx=s, first_hit=first_hit,
         )
         raw = raw + raw_s
         final_rounds = final_rounds + rounds_s

@@ -422,8 +422,18 @@ class Renderer:
             if self._last_transforms is None or not np.array_equal(
                 new_t, self._last_transforms
             ):
+                # Keep the instance-capacity padding (zero transforms)
+                # that pad_scene_capacity added — replacing with the raw
+                # list would change the array shape and recompile.
+                cap = int(self.scene.inst_transform.shape[0])
+                up = new_t
+                if cap > up.shape[0]:
+                    up = np.concatenate(
+                        [up, np.zeros((cap - up.shape[0], 3, 4),
+                                      np.float32)], axis=0
+                    )
                 self.scene = self.scene.replace(
-                    inst_transform=jnp.asarray(new_t)
+                    inst_transform=jnp.asarray(up)
                 )
                 self._last_transforms = new_t
             return
