@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import time
+from collections import deque
 
 import numpy as np
 
@@ -48,6 +49,18 @@ def main():
                     help="write every Nth frame (keeps the PNG-encode "
                          "host cost out of most frames while still "
                          "producing artifact images)")
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="frames-in-flight depth: dispatch N frames ahead "
+                         "of the blocking present readback (the Vulkan "
+                         "frames-in-flight analog, lib.rs MAX_FRAMES_IN_"
+                         "FLIGHT; render() is async so this overlaps the "
+                         "device frame + tunnel RTT of frame k with the "
+                         "dispatch of k+1..k+N). 0 = fully serial.")
+    ap.add_argument("--present", choices=("u8", "f32"), default="u8",
+                    help="present-readback format: u8 quantizes on-device "
+                         "(swapchain-format analog; 4x less tunnel "
+                         "transfer) and converts back to float on the "
+                         "host for the HUD; f32 reads the raw LDR")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -78,16 +91,63 @@ def main():
     t0 = time.time()
     np.asarray(r.render(warm_cam, instances=list(base_instances)
                + [(smallest_key, translate(0.0, -0.8, 0.0))]))
-    np.asarray(r.render(warm_cam, instances=list(base_instances)))
+    warm_ldr = r.render(warm_cam, instances=list(base_instances))
     compile_s = time.time() - t0
-    r.reset_history()
     print(f"prewarm (both capacity programs): {compile_s:.1f} s",
           flush=True)
 
     fps = 0.0
-    frame_ms = []          # per-frame walltime (render + overlay + present)
+    frame_ms = []          # per-presented-frame walltime (FIFO order)
     churn_frames = []      # frames where the instance list changed
+    pending = deque()      # in-flight (frame index, device ldr) FIFO
     t_prev = time.time()
+
+    if args.present == "u8":
+        import jax
+        import jax.numpy as jnp
+
+        # Device-side swapchain-format quantization: the tunnel readback
+        # is transfer-bound, so presenting uint8 moves 4x fewer bytes
+        # than the raw float32 LDR (measured 154 ms/frame for 2.7 MB at
+        # 640x360 through the remote-TPU tunnel, docs/PERFORMANCE.md).
+        to_present = jax.jit(
+            lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        )
+    else:
+        to_present = lambda x: x  # noqa: E731
+    np.asarray(to_present(warm_ldr))  # warm the present-format program too
+    r.reset_history()
+    t_prev = time.time()
+
+    def present(entry):
+        """Blocking present: device->host readback + HUD + PNG write.
+
+        With --inflight N the readback of frame k overlaps the already-
+        dispatched device work of frames k+1..k+N (JAX async dispatch),
+        so the present interval measures pipeline THROUGHPUT — the same
+        quantity the reference's window FPS title shows
+        (examples/window/main.rs:185-193)."""
+        nonlocal fps, t_prev
+        frame, ldr = entry
+        host = np.asarray(ldr).copy()
+        if host.dtype == np.uint8:
+            host = host.astype(np.float32) / 255.0
+        hist = frame_ms[-60:] if len(frame_ms) >= 2 else None
+        hud_overlay_np(
+            host, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], frame_ms=hist,
+        )
+        t_now = time.time()
+        dt = t_now - t_prev
+        inst_fps = 1.0 / max(dt, 1e-6)
+        fps = inst_fps if fps == 0 else 0.9 * fps + 0.1 * inst_fps
+        t_prev = t_now
+        frame_ms.append(dt * 1e3)
+        if not args.no_save and frame % max(args.save_every, 1) == 0:
+            write_png(os.path.join(args.out, f"frame_{frame:04d}.png"), host)
+            t_prev = time.time()  # PNG encode is host-side, not frame cost
+        if frame % 12 == 0:
+            print(f"frame {frame:4d}  fps {fps:6.2f}", flush=True)
+
     for frame in range(args.frames):
         angle = 2.0 * np.pi * frame / args.frames
         eye = (1.0 + 2.6 * np.sin(angle), 1.3, 1.0 + 2.6 * np.cos(angle))
@@ -104,37 +164,25 @@ def main():
         if frame in (24, 48):
             churn_frames.append(frame)
 
-        ldr = r.render(cam, instances=instances)
-
-        # Present-readback (part of the frame cost), then the HUD
-        # composites on the HOST copy — eager device-side overlay ops
-        # cost seconds/frame through the remote-TPU tunnel (the in-jit
-        # painter render/overlay2d.paint_meshes stays available for
-        # pipelines that fuse the HUD into the frame function).
-        host = np.asarray(ldr).copy()
-        hist = frame_ms[-60:] if len(frame_ms) >= 2 else None
-        hud_overlay_np(
-            host, [f"FPS {fps:6.2f}", f"FRAME {frame:04d}"], frame_ms=hist,
-        )
-
-        t_now = time.time()
-        dt = t_now - t_prev
-        inst_fps = 1.0 / max(dt, 1e-6)
-        fps = inst_fps if fps == 0 else 0.9 * fps + 0.1 * inst_fps
-        t_prev = t_now
-        frame_ms.append(dt * 1e3)
-
-        if not args.no_save and frame % max(args.save_every, 1) == 0:
-            write_png(os.path.join(args.out, f"frame_{frame:04d}.png"), host)
-            t_prev = time.time()  # PNG encode is host-side, not frame cost
-        if frame % 12 == 0:
-            print(f"frame {frame:4d}  fps {fps:6.2f}", flush=True)
+        ldr = to_present(r.render(cam, instances=instances))
+        try:
+            ldr.copy_to_host_async()  # start the D2H transfer early so it
+            # overlaps later dispatches, not just the present that reads it
+        except (AttributeError, NotImplementedError):
+            pass
+        pending.append((frame, ldr))
+        if len(pending) > max(args.inflight, 0):
+            present(pending.popleft())
+    while pending:
+        present(pending.popleft())
 
     steady = frame_ms[1:]
     churn_ms = [frame_ms[f] for f in churn_frames]
     stats = {
         "resolution": args.size,
         "frames": args.frames,
+        "inflight": args.inflight,
+        "present": args.present,
         "device": None,
         "prewarm_s": round(compile_s, 1),
         "compile_frame_ms": round(frame_ms[0], 1),
