@@ -94,7 +94,7 @@ def camera_matrices(camera: Camera, width: int, height: int):
     view = look_at_rh(eye, target, up)
     proj = perspective_gl(
         jnp.float32(width) / jnp.float32(height),
-        jnp.deg2rad(jnp.float32(camera.fov_y)),
+        jnp.deg2rad(jnp.asarray(camera.fov_y, jnp.float32)),
         Z_NEAR,
         Z_FAR,
     )
@@ -125,6 +125,39 @@ def camera_matrices(camera: Camera, width: int, height: int):
         "proj_inverse": proj_inverse,
         "view_proj": view_proj,
     }
+
+
+_matrices_jit_cache: dict = {}
+
+
+def camera_matrices_device(camera: Camera, width: int, height: int):
+    """camera_matrices as ONE compiled program (cached per frame size).
+
+    The eager form dispatches ~40 tiny device ops per call; on a remote
+    TPU each eager op is a tunnel round trip, measured ~85 ms/frame of
+    pure camera-math latency in the Renderer loop (docs/PERFORMANCE.md,
+    round 3). Jitting the whole computation makes a frame's camera math
+    three small array uploads + one cached program dispatch. Same ops,
+    same math — use this from host-side per-frame loops; the traceable
+    `camera_matrices` stays for differentiable pipelines that take
+    gradients through camera parameters."""
+    key = (int(width), int(height))
+    fn = _matrices_jit_cache.get(key)
+    if fn is None:
+        import jax
+
+        def run(pos, tgt, fov):
+            return camera_matrices(
+                Camera(position=pos, target=tgt, fov_y=fov), width, height
+            )
+
+        fn = jax.jit(run)
+        _matrices_jit_cache[key] = fn
+    return fn(
+        jnp.asarray(camera.position, jnp.float32),
+        jnp.asarray(camera.target, jnp.float32),
+        jnp.asarray(camera.fov_y, jnp.float32),
+    )
 
 
 def generate_rays(matrices, width: int, height: int, row0=None,

@@ -215,6 +215,14 @@ class RenderConfig:
     # its history-validity behavior can be measured/tested on CPU
     # (examples/ab_history_motion.py); False forces plain gathers.
     history_gather_force: "bool | None" = None
+    # Joint DI+GI temporal-history gather: one shared jittered
+    # reprojection + ONE packed (P, C_di+C_gi) banded row gather instead
+    # of two independent gathers with independent jitters (the reference
+    # draws per-pass jitters, ray_gen_ris.slang:233/:408; the shared draw
+    # correlates only that half-pixel jitter — quality pinned by
+    # tests/test_quality.py converged-truth bounds). Halves the
+    # history-gather fixed cost in the frame program.
+    history_joint_gather: bool = False
 
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete

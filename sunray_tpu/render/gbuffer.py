@@ -271,11 +271,22 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         # audition routes no gradients; tracer-adjacent inference path).
         kernel="jnp" if cfg.differentiable else "auto",
     )
+    if cfg.history_joint_gather:
+        # One shared reprojection + one packed banded gather for the DI
+        # AND GI histories (restir.gather_temporal_histories); the GI
+        # merge below reuses pre_gi instead of re-gathering.
+        seed, h_di, h_gi, base_ok = restir.gather_temporal_histories(
+            cfg, seed, res_di_hist, res_gi_hist, prev_uv, prev_valid,
+            frame_count, found, w, h, grid=grid,
+        )
+        pre_di, pre_gi = (h_di, base_ok), (h_gi, base_ok)
+    else:
+        pre_di = pre_gi = None
     seed, r_di = restir.di_temporal_reuse(
         lights, cfg, seed, r_di, res_di_hist, prev_uv, prev_valid, frame_count,
         walk["pos"], nrm_s, view_s, alb_s,
         rough_s, metal_s, walk["virtual_distance"],
-        w, h, enable_di, grid=grid,
+        w, h, enable_di, grid=grid, pregathered=pre_di,
     )
 
     # Visibility reuse (ray_gen_ris.slang:277-302) — the ray is computed
@@ -380,6 +391,7 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
         cfg, seed, r_gi, res_gi_hist, prev_uv, prev_valid, frame_count,
         walk["pos"], nrm_s, alb_s, metal_s,
         walk["virtual_distance"], w, h, found, grid=grid,
+        pregathered=pre_gi,
     )
     r_gi = r_gi.replace(
         hit_normal=jnp.where(found[:, None], walk["normal"], 0.0),

@@ -16,7 +16,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-from sunray_tpu.camera import Camera, camera_matrices
+from sunray_tpu.camera import Camera, camera_matrices  # noqa: F401
+from sunray_tpu.camera import camera_matrices_device
 from sunray_tpu.config import RenderConfig
 from sunray_tpu.ops.accel_state import AsState, FAST_BUILD, SLOW_BUILD
 from sunray_tpu.render.pipeline import RenderState, render_frame
@@ -471,7 +472,12 @@ class Renderer:
             self.set_instances(instances)
         if self.scene is None:
             raise RuntimeError("no scene loaded")
-        mats = camera_matrices(camera, self.config.width, self.config.height)
+        # Jitted camera math: the eager form is ~40 tiny device ops per
+        # frame — ~85 ms/frame of tunnel round trips on a remote TPU
+        # (measured round 3, docs/PERFORMANCE.md).
+        mats = camera_matrices_device(
+            camera, self.config.width, self.config.height
+        )
         self.state, ldr, _aux = self._frame_jit(
             self.scene, self.state, mats, self._scene_accel()
         )

@@ -473,25 +473,77 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
     return jax.tree_util.tree_unflatten(treedef, out), in_band
 
 
-def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
-                      history: ReservoirDI, prev_uv, prev_valid, frame_count,
-                      hit_pos, hit_normal, v_view, albedo, roughness, metallic,
-                      virtual_distance, width, height, enable, grid=None):
-    """DI temporal reuse with jittered reprojection + normal/depth confidence
-    (ray_gen_ris.slang:233-267)."""
+def gather_temporal_histories(cfg, seed, hist_di: ReservoirDI,
+                              hist_gi: ReservoirGI, prev_uv, prev_valid,
+                              frame_count, enable_hint, width, height,
+                              grid=None):
+    """ONE jittered reprojection + ONE packed banded gather for BOTH the
+    DI and GI temporal histories (cfg.history_joint_gather).
+
+    The reference draws an independent half-pixel jitter per pass
+    (ray_gen_ris.slang:233-267 DI, :408-432 GI); sharing one draw
+    correlates only that reprojection jitter between the two history
+    reads (quality pinned by the converged-truth CI bounds,
+    tests/test_quality.py) and halves the banded-gather fixed cost: one
+    (P, C_di+C_gi) row gather + one retention cond instead of two.
+    Returns (seed, h_di, h_gi, base_ok) with both w_sum columns zeroed
+    as in _gather_reservoir_banded."""
     seed, j1, j2 = rng_mod.rnd2(seed)
-    # int2(prev_pixel + jitter) with jitter in [-0.5, 0.5) — for non-negative
-    # coords HLSL int() truncation == floor.
     px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
     py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
     in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
-    ok = enable & prev_valid & in_bounds & (frame_count > 0)
-
+    base_ok = prev_valid & in_bounds & (frame_count > 0)
     pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
-                                          valid=ok)
+    leaves_di, treedef_di = jax.tree_util.tree_flatten(hist_di)
+    leaves_gi, treedef_gi = jax.tree_util.tree_flatten(hist_gi)
+    wsum_di, wsum_gi = leaves_di[1], leaves_gi[1]
+    lv = leaves_di[:1] + leaves_di[2:] + leaves_gi[:1] + leaves_gi[2:]
+    out, in_band = _gather_packed(
+        lv, pi, width, cfg.history_gather_band, cfg.history_gather_halo,
+        cfg.history_gather_layout, cfg.history_gather_mode,
+        cfg.history_shift_radius,
+        grid=grid, grid_halo=(grid.halo_t if grid is not None else 0),
+        valid=base_ok & enable_hint, shift_global=cfg.history_shift_global,
+        force=cfg.history_gather_force,
+        auto_min_retention=cfg.history_auto_min_retention,
+    )
+    n_di = len(leaves_di) - 1
+    out_di = out[:1] + [jnp.zeros_like(wsum_di)] + out[1:n_di]
+    out_gi = (out[n_di:n_di + 1] + [jnp.zeros_like(wsum_gi)]
+              + out[n_di + 1:])
     if in_band is not None:
-        ok = ok & in_band
+        base_ok = base_ok & in_band
+    return (seed,
+            jax.tree_util.tree_unflatten(treedef_di, out_di),
+            jax.tree_util.tree_unflatten(treedef_gi, out_gi),
+            base_ok)
+
+
+def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
+                      history: ReservoirDI, prev_uv, prev_valid, frame_count,
+                      hit_pos, hit_normal, v_view, albedo, roughness, metallic,
+                      virtual_distance, width, height, enable, grid=None,
+                      pregathered=None):
+    """DI temporal reuse with jittered reprojection + normal/depth confidence
+    (ray_gen_ris.slang:233-267). pregathered: optional (history, base_ok)
+    from gather_temporal_histories (the joint DI+GI gather path)."""
+    if pregathered is not None:
+        h, base_ok = pregathered
+        ok = enable & base_ok
+    else:
+        seed, j1, j2 = rng_mod.rnd2(seed)
+        # int2(prev_pixel + jitter) with jitter in [-0.5, 0.5) — for
+        # non-negative coords HLSL int() truncation == floor.
+        px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
+        py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
+        in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
+        ok = enable & prev_valid & in_bounds & (frame_count > 0)
+
+        pi = jnp.clip(py * width + px, 0, width * height - 1)
+        h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
+                                              valid=ok)
+        if in_band is not None:
+            ok = ok & in_band
     h = h.replace(
         M=jnp.minimum(h.M, cfg.di_temporal_m_clamp),
         W=jnp.minimum(h.W, cfg.di_temporal_w_clamp),
@@ -527,18 +579,24 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
 def gi_temporal_reuse(cfg, seed, r: ReservoirGI, history: ReservoirGI,
                       prev_uv, prev_valid, frame_count,
                       hit_pos, hit_normal, albedo, metallic,
-                      virtual_distance, width, height, enable, grid=None):
-    """GI temporal reuse (ray_gen_ris.slang:408-432)."""
-    seed, j1, j2 = rng_mod.rnd2(seed)
-    px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
-    py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
-    in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
-    ok = enable & prev_valid & in_bounds & (frame_count > 0)
-    pi = jnp.clip(py * width + px, 0, width * height - 1)
-    h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
-                                          valid=ok)
-    if in_band is not None:
-        ok = ok & in_band
+                      virtual_distance, width, height, enable, grid=None,
+                      pregathered=None):
+    """GI temporal reuse (ray_gen_ris.slang:408-432). pregathered: optional
+    (history, base_ok) from gather_temporal_histories."""
+    if pregathered is not None:
+        h, base_ok = pregathered
+        ok = enable & base_ok
+    else:
+        seed, j1, j2 = rng_mod.rnd2(seed)
+        px = jnp.floor(prev_uv[:, 0] * width + (j1 - 0.5)).astype(jnp.int32)
+        py = jnp.floor(prev_uv[:, 1] * height + (j2 - 0.5)).astype(jnp.int32)
+        in_bounds = (px >= 0) & (py >= 0) & (px < width) & (py < height)
+        ok = enable & prev_valid & in_bounds & (frame_count > 0)
+        pi = jnp.clip(py * width + px, 0, width * height - 1)
+        h, in_band = _gather_reservoir_banded(history, pi, width, cfg, grid,
+                                              valid=ok)
+        if in_band is not None:
+            ok = ok & in_band
 
     ndot = jnp.sum(hit_normal * h.hit_normal, axis=-1)
     normal_conf = smoothstep(0.8, 0.95, ndot)

@@ -328,3 +328,83 @@ class TestPallasDiSpatialMatches:
                                    rtol=1e-3, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(outk["has"])[same],
                                       np.asarray(has)[same])
+
+
+class TestJointTemporalGather:
+    """gather_temporal_histories (cfg.history_joint_gather): ONE packed
+    banded gather for both temporal histories must reproduce, leaf for
+    leaf, the plain per-reservoir gathers at the same shared jittered
+    reprojection (the pack/split index wrangling is the bug surface)."""
+
+    def test_matches_separate_plain_gathers(self):
+        import jax
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.ops import rng as rng_mod
+
+        w, h = 12, 8
+        p = w * h
+        rs = np.random.default_rng(3)
+
+        def rand_like(r):
+            leaves, td = jax.tree_util.tree_flatten(r)
+            out = []
+            for x in leaves:
+                x = np.asarray(x)
+                if np.issubdtype(x.dtype, np.integer):
+                    out.append(jnp.asarray(
+                        rs.integers(0, 100, size=x.shape).astype(x.dtype)))
+                else:
+                    out.append(jnp.asarray(
+                        rs.normal(size=x.shape).astype(x.dtype)))
+            return jax.tree_util.tree_unflatten(td, out)
+
+        hist_di = rand_like(restir.ReservoirDI.empty(p))
+        hist_gi = rand_like(restir.ReservoirGI.empty(p))
+        prev_uv = jnp.asarray(rs.uniform(-0.2, 1.2, (p, 2)).astype(np.float32))
+        prev_valid = jnp.asarray(rs.random(p) > 0.2)
+        enable = jnp.asarray(rs.random(p) > 0.3)
+        frame_count = jnp.asarray(5, jnp.int32)
+        cfg = RenderConfig(width=w, height=h, history_joint_gather=True)
+
+        seed0 = rng_mod.init_seed(jnp.uint32(123), jnp.uint32(7))
+        seed_out, h_di, h_gi, base_ok = restir.gather_temporal_histories(
+            cfg, seed0, hist_di, hist_gi, prev_uv, prev_valid, frame_count,
+            enable, w, h)
+
+        # Oracle: replicate the one shared jitter draw + plain gathers.
+        seed1, j1, j2 = rng_mod.rnd2(seed0)
+        np.testing.assert_array_equal(np.asarray(seed_out),
+                                      np.asarray(seed1))
+        px = np.floor(np.asarray(prev_uv[:, 0]) * w
+                      + (np.asarray(j1) - 0.5)).astype(np.int32)
+        py = np.floor(np.asarray(prev_uv[:, 1]) * h
+                      + (np.asarray(j2) - 0.5)).astype(np.int32)
+        in_bounds = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+        exp_ok = np.asarray(prev_valid) & in_bounds
+        pi = np.clip(py * w + px, 0, p - 1)
+        np.testing.assert_array_equal(np.asarray(base_ok), exp_ok)
+        for hist, got in ((hist_di, h_di), (hist_gi, h_gi)):
+            exp_leaves, _ = jax.tree_util.tree_flatten(
+                jax.tree_util.tree_map(lambda x: x[pi], hist))
+            got_leaves, _ = jax.tree_util.tree_flatten(got)
+            # w_sum (leaf 1) is zeroed by contract, never read downstream.
+            exp_leaves[1] = np.zeros_like(np.asarray(exp_leaves[1]))
+            for e, g in zip(exp_leaves, got_leaves):
+                np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+
+    def test_frame_finite_with_joint_gather(self):
+        from sunray_tpu.camera import Camera
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.render.renderer import Renderer
+
+        cfg = RenderConfig(width=32, height=24, lighting="restir",
+                           history_joint_gather=True)
+        r = Renderer(cfg)
+        r.load_scene(cornell_box())
+        cam = Camera(position=(1.0, 1.3, 3.6), target=(1.0, 1.0, 1.0),
+                     fov_y=50.0)
+        img = None
+        for _ in range(3):
+            img = np.asarray(r.render(cam))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.01
