@@ -42,6 +42,10 @@ for _ in range(n):
     state, ldr, _aux = r._frame_jit(r.scene, state, mats, accel)
 jax.block_until_ready(ldr)
 t_direct = (time.time() - t0) / n * 1e3
+# _frame_jit donates argnum 1, so the first iteration invalidated the
+# Renderer's own self.state buffers — rebind the loop's live state so the
+# Renderer stays usable after this diagnostic (ADVICE r3).
+r.state = state
 
 # (c) camera_matrices_device alone per-frame cost
 t0 = time.time()

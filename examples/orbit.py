@@ -256,7 +256,10 @@ def main():
         "present_workers": args.present_workers,
         "device": None,
         "prewarm_s": round(compile_s, 1),
-        "compile_frame_ms": round(frame_ms[0], 1),
+        # Loop-start -> first present. With --inflight N this spans N+1
+        # dispatches (prewarm already compiled both programs, so this is
+        # NOT a compile cost); renamed from compile_frame_ms (ADVICE r3).
+        "first_present_ms": round(frame_ms[0], 1),
         "steady_mean_ms": round(float(np.mean(steady)), 1),
         "steady_p50_ms": round(float(np.median(steady)), 1),
         "steady_max_ms": round(float(np.max(steady)), 1),
