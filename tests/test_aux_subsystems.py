@@ -132,3 +132,39 @@ class TestHloDump:
                         jax.tree_util.tree_leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
+
+
+class TestProvenance:
+    """utils/provenance.exec_paths mirrors the real dispatch predicates —
+    drift here means bench JSON records the wrong execution path."""
+
+    def test_mirrors_dispatch_predicates(self):
+        from sunray_tpu.config import RenderConfig
+        from sunray_tpu.ops.pallas_restir import MAX_LIGHTS, kernel_max_lights
+        from sunray_tpu.utils.provenance import exec_paths
+
+        assert kernel_max_lights() == MAX_LIGHTS
+
+        cfg = RenderConfig(lighting="restir")
+        # On TPU with a fitting table both fused kernels engage.
+        ep = exec_paths(cfg, num_lights=2, backend="tpu")
+        assert ep["ris_audition"] == "pallas-fused"
+        assert ep["di_spatial"] == "pallas-fused"
+        # Above the cap: silent fallback -> recorded as jnp.
+        ep = exec_paths(cfg, num_lights=kernel_max_lights() + 1,
+                        backend="tpu")
+        assert ep["ris_audition"] == "jnp"
+        assert ep["di_spatial"] == "jnp"
+        # Differentiable frames route gradients through the jnp planes
+        # (gbuffer.py kernel="jnp", pathtrace use_di_kernel predicate).
+        ep = exec_paths(cfg.replace(differentiable=True), 2, backend="tpu")
+        assert ep["ris_audition"] == "jnp"
+        assert ep["di_spatial"] == "jnp"
+        # CPU backend never runs the TPU kernels.
+        ep = exec_paths(cfg, 2, backend="cpu")
+        assert ep["ris_audition"] == "jnp"
+        # Per-pixel taps keep DI spatial on the jnp oracle path.
+        ep = exec_paths(cfg.replace(spatial_taps="perpixel"), 2,
+                        backend="tpu")
+        assert ep["di_spatial"] == "jnp"
+        assert ep["ris_audition"] == "pallas-fused"
