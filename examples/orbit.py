@@ -69,6 +69,14 @@ def main():
                          "stats are then computed from per-frame "
                          "completion timestamps.")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scene", default="cornell",
+                    help="'cornell' (exterior orbit, the round-3 "
+                         "artifact) or a .glb/.gltf path — the camera "
+                         "then orbits INSIDE the room (the reference's "
+                         "window example flies GLB rooms,"
+                         " examples/window/main.rs), exercising the "
+                         "texture atlas, alpha and SceneManager paths "
+                         "in the live loop")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -76,11 +84,44 @@ def main():
     w, h = (int(x) for x in args.size.split("x"))
 
     cfg = RenderConfig(width=w, height=h, lighting="restir")
-    scene = cornell_box()
+    if args.scene == "cornell":
+        scene = cornell_box()
+        orbit_center = np.asarray([1.0, 1.0, 1.0])
+        orbit_radius, eye_h, fov = 2.6, 1.3, 50.0
+    else:
+        from sunray_tpu.scene.gltf import load_gltf
+
+        scene = load_gltf(args.scene)
+        # Room bounds from concrete host arrays (NO eager device ops —
+        # each would be a tunnel round trip, CLAUDE.md).
+        pos = np.asarray(scene.positions)
+        tv = np.asarray(scene.tri_vidx)
+        ti = np.asarray(scene.tri_inst)
+        xf = np.asarray(scene.inst_transform)
+        corners = pos[tv.reshape(-1)]
+        xfc = xf[np.repeat(ti, 3)]
+        world = np.einsum("nij,nj->ni", xfc[:, :, :3], corners) + xfc[:, :, 3]
+        lo, hi = world.min(0), world.max(0)
+        orbit_center = (lo + hi) / 2.0
+        ext = hi - lo
+        # Interior orbit: eye circles INSIDE the room at a third of the
+        # half-extent, looking across it.
+        orbit_radius = 0.32 * float(min(ext[0], ext[2]))
+        eye_h = float(lo[1] + 0.45 * ext[1])
+        # Look across and slightly down into the furnished part of the
+        # room rather than at the volumetric center of a tall space.
+        orbit_center = np.asarray(
+            [orbit_center[0], lo[1] + 0.30 * ext[1], orbit_center[2]]
+        )
+        fov = 60.0
+        print(f"scene {args.scene}: bounds {np.round(lo,2)}..{np.round(hi,2)}"
+              f" interior orbit r={orbit_radius:.2f} eye_h={eye_h:.2f}",
+              flush=True)
     r = Renderer(cfg)
     r._manager = SceneManager.from_scene_buffers(scene)
     base_instances = r._manager.default_instances(scene)
     r.scene = r._manager.build(base_instances)
+    r._sync_scene_flags()
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -93,8 +134,15 @@ def main():
         base_instances,
         key=lambda kt: r._manager._meshes[kt[0]].tri_vidx.shape[0],
     )[0]
-    warm_cam = Camera(position=(1.0, 1.3, 3.6), target=(1.0, 1.0, 1.0),
-                     fov_y=50.0)
+    if args.scene == "cornell":
+        warm_cam = Camera(position=(1.0, 1.3, 3.6), target=(1.0, 1.0, 1.0),
+                          fov_y=50.0)
+    else:
+        warm_cam = Camera(
+            position=(float(orbit_center[0]), eye_h,
+                      float(orbit_center[2]) + orbit_radius),
+            target=tuple(float(c) for c in orbit_center), fov_y=fov,
+        )
     t0 = time.time()
     np.asarray(r.render(warm_cam, instances=list(base_instances)
                + [(smallest_key, translate(0.0, -0.8, 0.0))]))
@@ -197,8 +245,14 @@ def main():
     loop_t0 = time.time()
     for frame in range(args.frames):
         angle = 2.0 * np.pi * frame / args.frames
-        eye = (1.0 + 2.6 * np.sin(angle), 1.3, 1.0 + 2.6 * np.cos(angle))
-        cam = Camera(position=eye, target=(1.0, 1.0, 1.0), fov_y=50.0)
+        eye = (
+            float(orbit_center[0]) + orbit_radius * np.sin(angle),
+            eye_h,
+            float(orbit_center[2]) + orbit_radius * np.cos(angle),
+        )
+        cam = Camera(position=eye,
+                     target=tuple(float(c) for c in orbit_center),
+                     fov_y=fov)
 
         instances = list(base_instances)
         # Scripted runtime churn (window example analog).
@@ -249,6 +303,7 @@ def main():
     steady = frame_ms[1:]
     churn_ms = [frame_ms[f] for f in churn_frames]
     stats = {
+        "scene": args.scene,
         "resolution": args.size,
         "frames": args.frames,
         "inflight": args.inflight,

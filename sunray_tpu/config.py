@@ -233,6 +233,13 @@ class RenderConfig:
     # Differentiability: when True the frame function avoids non-differentiable
     # packing in hot paths and stops gradients only through discrete choices.
     differentiable: bool = False
+    # Shadow-boundary (visibility) gradients for first-bounce NEE: adds
+    # the silhouette-edge boundary integral as a zero-forward term
+    # (render/boundary.py — the missing term behind the measured AD=0 vs
+    # FD+0.67 occlusion envelope). Requires differentiable=True, the
+    # "nee" lighting path, and scene edge topology
+    # (boundary.with_edge_topology). O(P*E*L*quadrature) — CI scenes.
+    shadow_boundary_grads: bool = False
 
     # Numerics
     dtype: str = "float32"

@@ -39,14 +39,33 @@ from jax.experimental import pallas as pl
 SUB = 8            # sublane rows per plane
 LANES = 512        # lanes per block
 BLOCK = SUB * LANES
-MAX_LIGHTS = 32    # select-chain bound; bigger tables use the jnp path
+MAX_LIGHTS = 32      # select-chain bound; bigger tables use the MXU fetch
+RES_PLANES = 13      # DI-spatial reservoir block planes: pos 3, normal 3,
+                     # W, M, idx, emission 3, ok
+ONEHOT_MAX = 512     # direct one-hot fetch bound; bigger tables presample
+TILE = 128           # presampled-tile size (lights per ray block)
+N_TILES = 128        # distinct tiles per frame (RTXDI-style presampling)
 
 
 def kernel_max_lights() -> int:
-    """The largest light table the fused kernels accept — above this the
-    frame silently falls back to the jnp planes. Exposed so bench
-    provenance (utils/provenance.py) can record which path ran."""
-    return MAX_LIGHTS
+    """Round 3 capped the fused kernels at MAX_LIGHTS=32 (select chain)
+    and silently fell back to jnp above it. The cap is lifted: 33..512
+    lights fetch via an in-kernel one-hot MXU contraction (exact), and
+    larger tables (the reference's 65,536-slot arena,
+    resource_manager.rs:14) go through per-ray-block presampled tiles
+    (ris_fetch_mode() == 'presampled'). Kept for provenance: the value
+    above which the audition switches from EXACT uniform sampling to the
+    presampled two-level estimator."""
+    return ONEHOT_MAX
+
+
+def ris_fetch_mode(num_lights: int) -> str:
+    """Which in-kernel light-fetch strategy the audition uses."""
+    if num_lights <= MAX_LIGHTS:
+        return "select"
+    if num_lights <= ONEHOT_MAX:
+        return "onehot"
+    return "presampled"
 _A = 747796405
 _C = 2891336453
 _INV_U32_MAX = 1.0 / 4294967295.0
@@ -74,13 +93,59 @@ def _rnd(seed):
     return seed, u
 
 
-def _kernel(attr_ref, seed_ref, en_ref, tab_ref, out_ref, *, k, num_lights):
+def _fetch_cols(tab_ref, idx, rows, n_cols, fetch):
+    """Per-pixel light-row fetch from the VMEM-resident (16, rows_p) tab
+    block at row index idx ((8, LANES) int32). Returns n_cols (8, LANES)
+    f32 planes.
+
+    fetch="select": compare+select chain over `rows` rows — cheapest for
+    tiny tables (the round-3 proven path, rows <= MAX_LIGHTS).
+    fetch="onehot": one (16, rows_p) @ (rows_p, LANES) MXU contraction
+    per sublane row (the ops/pallas_gather pattern, in-kernel): the
+    one-hot is exact 0/1 so HIGHEST-precision reproduces the f32 table
+    bit-exactly; cost scales with rows_p but rides the MXU instead of an
+    O(rows) VPU chain."""
+    if fetch == "select":
+        vals = [jnp.zeros(idx.shape, jnp.float32) for _ in range(n_cols)]
+        for row in range(rows):
+            m = idx == row
+            for c in range(n_cols):
+                vals[c] = jnp.where(m, tab_ref[c, row], vals[c])
+        return vals
+    tab = tab_ref[...]                                 # (16, rows_p)
+    rows_p = tab.shape[1]
+    lanes = idx.shape[1]
+    per_row = []
+    for r in range(SUB):
+        idx_row = idx[r, :]                            # (lanes,)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows_p, lanes), 0)
+            == idx_row[None, :]
+        ).astype(jnp.float32)                          # (rows_p, lanes) VMEM
+        per_row.append(jax.lax.dot_general(
+            tab, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ))                                             # (16, lanes)
+    return [
+        jnp.stack([per_row[r][c, :] for r in range(SUB)], axis=0)
+        for c in range(n_cols)
+    ]
+
+
+def _kernel(attr_ref, seed_ref, en_ref, tab_ref, out_ref, *, k, num_lights,
+            fetch, tiled, tab_rows):
     """attr (128, L): rows 8i..8i+7 = plane i — 0-2 pos, 3-5 normal,
                       6-8 view, 9-11 albedo, 12 rough, 13 metal.
        seed (8, L) uint32; en (8, L) int32 (1 = enabled).
-       tab  (16, Lp): rows 0-8 v0/v1/v2 xyz, 9-11 emission.
+       tab  (16, Lp): rows 0-8 v0/v1/v2 xyz, 9-11 emission, 12 global
+                      light index (f32-encoded, presampled tiles only).
        out  (128, L): planes 0-2 light_pos, 3-5 light_normal, 6 w_sum,
-                      7 M, 8 light_idx (bitcast i32), 9 W, 15 seed'."""
+                      7 M, 8 light_idx (bitcast i32), 9 W, 15 seed'.
+       tiled: tab block is a presampled TILE of tab_rows entries drawn
+       uniformly (with replacement) from the full num_lights table —
+       candidates pick a tile-local row but resolve p_y against the
+       GLOBAL uniform pdf (two-level RIS, see ris_audition_pallas)."""
 
     def attr(i):
         return attr_ref[8 * i : 8 * i + 8, :]
@@ -136,34 +201,29 @@ def _kernel(attr_ref, seed_ref, en_ref, tab_ref, out_ref, *, k, num_lights):
             p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
         return p_hat
 
-    def light_cols(idx):
-        """12 candidate light columns via a select chain over the table
-        rows (num_lights is small; MAX_LIGHTS-gated by the wrapper)."""
-        vals = [jnp.zeros_like(rough) for _ in range(12)]
-        for row in range(num_lights):
-            m = idx == row
-            for c in range(12):
-                vals[c] = jnp.where(m, tab_ref[c, row], vals[c])
-        return vals
-
     zero = jnp.zeros_like(rough)
     w_sum = zero
     r_idx = jnp.zeros_like(en_ref[...])
     r_pos = [zero, zero, zero]
     r_nrm = [zero, zero, zero]
+    r_em = [zero, zero, zero]
+
+    pick_range = tab_rows if tiled else num_lights
+    n_cols = 13 if tiled else 12
 
     for _ in range(k):
         seed, u_pick = _rnd(seed)
         idx = jnp.minimum(
-            (u_pick * num_lights).astype(jnp.int32), num_lights - 1
+            (u_pick * pick_range).astype(jnp.int32), pick_range - 1
         )
         seed, u1 = _rnd(seed)
         seed, u2 = _rnd(seed)
-        cols = light_cols(idx)
+        cols = _fetch_cols(tab_ref, idx, tab_rows, n_cols, fetch)
         v0 = cols[0:3]
         v1 = cols[3:6]
         v2 = cols[6:9]
         em = cols[9:12]
+        gidx = cols[12].astype(jnp.int32) if tiled else idx
         e1 = [v1[c] - v0[c] for c in range(3)]
         e2 = [v2[c] - v0[c] for c in range(3)]
         cr = [
@@ -189,15 +249,19 @@ def _kernel(attr_ref, seed_ref, en_ref, tab_ref, out_ref, *, k, num_lights):
         w_sum = w_sum + wi
         seed, u_keep = _rnd(seed)
         take = enable & (u_keep < wi / jnp.maximum(w_sum, 1e-4))
-        r_idx = jnp.where(take, idx, r_idx)
+        r_idx = jnp.where(take, gidx, r_idx)
         for c in range(3):
             r_pos[c] = jnp.where(take, pos[c], r_pos[c])
             r_nrm[c] = jnp.where(take, nrm[c], r_nrm[c])
+            r_em[c] = jnp.where(take, em[c], r_em[c])
 
     m = jnp.where(enable, float(k), 0.0)
-    # W resolve (ray_gen_ris.slang:225-231): re-evaluate the winner.
-    cols_w = light_cols(r_idx)
-    p_hat_w = eval_p_hat(r_pos, r_nrm, cols_w[9:12])
+    # W resolve (ray_gen_ris.slang:225-231): re-evaluate the winner. The
+    # winner's emission is kept in registers from its take (value-equal
+    # to a refetch; any lane with w_sum > 0 took at least once — the
+    # first wi > 0 candidate always takes — and lanes that never took
+    # are masked by the w_sum > 0 clause below).
+    p_hat_w = eval_p_hat(r_pos, r_nrm, r_em)
     w = w_sum / jnp.maximum(m * p_hat_w, 1e-4)
     w_final = jnp.where(enable & (w_sum > 0.0), w, 0.0)
 
@@ -228,11 +292,25 @@ def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
                         hit_pos, hit_normal, v_view, albedo, roughness,
                         metallic, candidates: int, enable):
     """Drop-in forward for restir.ris_audition's compute. Returns
-    (seed', dict of reservoir fields) — or None when the light table
-    exceeds MAX_LIGHTS (caller falls back to the jnp planes)."""
+    (seed', dict of reservoir fields). Handles ANY light count
+    (round 3 capped at MAX_LIGHTS=32 and silently fell back to jnp):
+
+      - L <= MAX_LIGHTS: VMEM select-chain fetch (round-3 path, exact);
+      - L <= ONEHOT_MAX: in-kernel one-hot MXU fetch (exact — the
+        candidate distribution is IDENTICAL to the reference's uniform
+        sampling, ray_gen_ris.slang:189-231);
+      - larger: RTXDI-style presampled light tiles — N_TILES tiles of
+        TILE entries drawn uniformly (with replacement) per frame; each
+        4096-pixel block auditions from one tile (two-level RIS). Each
+        tile entry is marginally Uniform[0, L), so resolving the RIS
+        weight against p_y = 1/(L*area) keeps the estimator unbiased in
+        expectation over tile construction (Talbot RIS nesting); the
+        divergence from the reference is intra-block candidate
+        correlation — documented in docs/PARITY.md, quality-checked by
+        tests/test_restir_math.py::TestManyLightAudition.
+    """
     l = light_v0.shape[0]
-    if l > MAX_LIGHTS:
-        return None
+    fetch_mode = ris_fetch_mode(l)
     p = hit_pos.shape[0]
     np_ = _pad_to(max(p, BLOCK), BLOCK)
     rows = np_ // SUB
@@ -259,21 +337,50 @@ def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
         enable.astype(jnp.int32)
     ).reshape(SUB, rows)
 
-    lp = _pad_to(l, 128)
-    tab = jnp.zeros((16, lp), jnp.float32)
-    tab = tab.at[0:3, :l].set(light_v0.T)
-    tab = tab.at[3:6, :l].set(light_v1.T)
-    tab = tab.at[6:9, :l].set(light_v2.T)
-    tab = tab.at[9:12, :l].set(light_em.T)
+    if fetch_mode == "presampled":
+        # Per-frame presampled tiles: N_TILES * TILE entries, each an
+        # independent Uniform[0, L) draw seeded from the frame's first
+        # pixel seed (decorrelates frames; entries within a frame are
+        # iid). Row 12 carries the entry's GLOBAL index for the
+        # reservoir output.
+        from sunray_tpu.ops import rng as rng_mod
+
+        ts = rng_mod.pcg_hash(
+            seed[0] ^ jnp.arange(N_TILES * TILE, dtype=jnp.uint32)
+        )
+        _, u = rng_mod.rnd(ts)
+        entry = jnp.minimum((u * l).astype(jnp.int32), l - 1)
+        tab = jnp.zeros((16, N_TILES * TILE), jnp.float32)
+        tab = tab.at[0:3, :].set(light_v0[entry].T)
+        tab = tab.at[3:6, :].set(light_v1[entry].T)
+        tab = tab.at[6:9, :].set(light_v2[entry].T)
+        tab = tab.at[9:12, :].set(light_em[entry].T)
+        tab = tab.at[12, :].set(entry.astype(jnp.float32))
+        tab_spec = pl.BlockSpec((16, TILE), lambda j: (0, j % N_TILES))
+        tab_rows = TILE
+        fetch = "onehot"
+        tiled = True
+    else:
+        lp = _pad_to(l, 128)
+        tab = jnp.zeros((16, lp), jnp.float32)
+        tab = tab.at[0:3, :l].set(light_v0.T)
+        tab = tab.at[3:6, :l].set(light_v1.T)
+        tab = tab.at[6:9, :l].set(light_v2.T)
+        tab = tab.at[9:12, :l].set(light_em.T)
+        tab_spec = pl.BlockSpec((16, lp), lambda j: (0, 0))
+        tab_rows = l
+        fetch = fetch_mode
+        tiled = False
 
     out = pl.pallas_call(
-        functools.partial(_kernel, k=candidates, num_lights=l),
+        functools.partial(_kernel, k=candidates, num_lights=l,
+                          fetch=fetch, tiled=tiled, tab_rows=tab_rows),
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
             pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
             pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
-            pl.BlockSpec((16, lp), lambda j: (0, 0)),
+            tab_spec,
         ],
         out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
@@ -300,7 +407,7 @@ def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
 
 
 def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
-                       tab_ref, out_ref, *, t_n, num_lights, w_clamp,
+                       out_ref, *, t_n, num_lights, w_clamp,
                        m_clamp, w_spatial_clamp):
     """Phase-B DI spatial reuse at frozen hits (ray_gen_final.slang:
     139-222): center merge + t_n neighbor-tap merges + the winner's W
@@ -308,12 +415,15 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
 
     attr (128, L): audition attr layout (pos/normal/view/albedo/rough/
                    metal planes).
-    res  (80, L):  center reservoir planes — 0-2 light_pos, 3-5
-                   light_normal, 6 W, 7 M, 8 light_idx (bitcast) —
-                   (rest pad).
-    tap  (t_n*80, L): per tap: same 9 planes + 9 ok (int bitcast).
+    res  (104, L): center reservoir planes — 0-2 light_pos, 3-5
+                   light_normal, 6 W, 7 M, 8 light_idx (bitcast),
+                   9-11 light emission, 12 ok (int bitcast) — the
+                   emission rides per-pixel planes (the caller gathers
+                   the center's once and shifts it per tap) instead of
+                   an in-kernel table fetch, so the kernel has NO light
+                   -count cap (round 3 gated it at 32).
+    tap  (t_n*104, L): per tap: same 13 planes.
     seed (8, L) uint32; flag (8, L) int32: pending.
-    tab  (16, Lp) light table (emission rows 9-11 used).
     out  (128, L): 0-2 light_pos, 3-5 light_normal, 6 w_sum, 7 M,
                    8 light_idx, 9 w_spatial (clamped), 10-12 f_y_w rgb,
                    13 has (0/1), 15 seed'."""
@@ -375,14 +485,6 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
             p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
         return p_hat, fy
 
-    def em_of(idx):
-        vals = [jnp.zeros_like(rough) for _ in range(3)]
-        for row in range(num_lights):
-            m = idx == row
-            for c in range(3):
-                vals[c] = jnp.where(m, tab_ref[9 + c, row], vals[c])
-        return vals
-
     def res_planes(base_ref, off):
         def g(i):
             return base_ref[off + 8 * i : off + 8 * i + 8, :]
@@ -391,13 +493,16 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
         w = g(6)
         m = g(7)
         idx = jax.lax.bitcast_convert_type(g(8), jnp.int32)
-        return lpos, lnrm, w, m, idx
+        em = [g(9), g(10), g(11)]
+        ok = jax.lax.bitcast_convert_type(g(12), jnp.int32) > 0
+        return lpos, lnrm, w, m, idx, em, ok
 
     # Center merge (the reservoir's own sample; ray_gen_final:147-158).
-    c_pos, c_nrm, c_w, c_m, c_idx_raw = res_planes(res_ref, 0)
+    c_pos, c_nrm, c_w, c_m, c_idx_raw, c_em, _c_ok_in = \
+        res_planes(res_ref, 0)
     c_ok = pending & (c_w > 0.0) & (c_idx_raw < num_lights)
     c_idx = jnp.minimum(c_idx_raw, num_lights - 1)
-    p_hat_c, _ = eval_light(c_pos, c_nrm, em_of(c_idx))
+    p_hat_c, _ = eval_light(c_pos, c_nrm, c_em)
     seed, u_m = _rnd(seed)
 
     zero = jnp.zeros_like(rough)
@@ -407,17 +512,16 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
     r_idx = jnp.where(take, c_idx, jnp.zeros_like(c_idx))
     r_pos = [jnp.where(take, c_pos[c], zero) for c in range(3)]
     r_nrm = [jnp.where(take, c_nrm[c], zero) for c in range(3)]
+    r_em = [jnp.where(take, c_em[c], zero) for c in range(3)]
 
     for t in range(t_n):
-        lpos, lnrm, w_raw, m_raw, idx_raw = res_planes(tap_ref, t * 80)
-        ok = jax.lax.bitcast_convert_type(
-            tap_ref[t * 80 + 72 : t * 80 + 80, :], jnp.int32
-        ) > 0
+        lpos, lnrm, w_raw, m_raw, idx_raw, t_em, ok = \
+            res_planes(tap_ref, t * RES_PLANES * SUB)
         w_cl = jnp.minimum(w_raw, w_clamp)
         m_cl = jnp.minimum(m_raw, m_clamp)
         use = pending & ok & (w_cl > 0.0) & (idx_raw < num_lights)
         idx = jnp.minimum(idx_raw, num_lights - 1)
-        p_hat_n, _ = eval_light(lpos, lnrm, em_of(idx))
+        p_hat_n, _ = eval_light(lpos, lnrm, t_em)
         m_acc = m_acc + jnp.where(use, m_cl, 0.0)
         weight = jnp.where(use, p_hat_n * w_cl * m_cl, 0.0)
         w_sum = w_sum + weight
@@ -427,10 +531,13 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
         for c in range(3):
             r_pos[c] = jnp.where(take, lpos[c], r_pos[c])
             r_nrm[c] = jnp.where(take, lnrm[c], r_nrm[c])
+            r_em[c] = jnp.where(take, t_em[c], r_em[c])
 
-    # Resolve + clamp + winner f_y (ray_gen_final.slang:203-222).
+    # Resolve + clamp + winner f_y (ray_gen_final.slang:203-222). The
+    # winner's emission rides registers from its take (see the audition
+    # kernel's W-resolve note for the masked-lane equivalence argument).
     has = pending & (w_sum > 0.0)
-    p_hat_w, f_y_w = eval_light(r_pos, r_nrm, em_of(r_idx))
+    p_hat_w, f_y_w = eval_light(r_pos, r_nrm, r_em)
     w_spatial = w_sum / jnp.maximum(m_acc * p_hat_w, 1e-3)
     w_spatial = jnp.minimum(w_spatial, w_spatial_clamp)
 
@@ -455,17 +562,18 @@ def _di_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
     put(15, jax.lax.bitcast_convert_type(seed, jnp.float32))
 
 
-def di_spatial_pallas(lights_em_tab, seed, center, taps, pending,
+def di_spatial_pallas(seed, center, taps, pending,
                       hit_pos, hit_normal, v_view, albedo, roughness,
                       metallic, cfg_clamps):
     """Phase-B DI spatial reuse forward. center: dict of (P,)/(P,3)
-    reservoir fields; taps: list of (fields dict, ok (P,) bool);
-    lights_em_tab: (16, Lp) packed light table (as the audition builds).
+    reservoir fields INCLUDING 'emission' (P, 3) — the caller gathers
+    the center reservoir's light emission once and shifts it per tap
+    (so there is no in-kernel light-table fetch and NO light-count cap;
+    round 3 gated this kernel at 32 lights). taps: list of (fields dict
+    incl. emission, ok (P,) bool).
     cfg_clamps: (w_clamp, m_clamp, w_spatial_clamp, num_lights).
-    Returns (seed', dict) or None if lights exceed MAX_LIGHTS."""
+    Returns (seed', dict)."""
     w_clamp, m_clamp, w_spatial_clamp, num_lights = cfg_clamps
-    if num_lights > MAX_LIGHTS:
-        return None
     p = hit_pos.shape[0]
     t_n = len(taps)
     np_ = _pad_to(max(p, BLOCK), BLOCK)
@@ -500,16 +608,19 @@ def di_spatial_pallas(lights_em_tab, seed, center, taps, pending,
             plane(f["light_normal"][:, 2]),
             plane(f["W"]), plane(f["M"]),
             plane(f["light_idx"].astype(jnp.int32), jnp.int32),
+            plane(f["emission"][:, 0]), plane(f["emission"][:, 1]),
+            plane(f["emission"][:, 2]),
         ]
         parts.append(
             plane((ok if ok is not None
                    else jnp.ones((p,), bool)).astype(jnp.int32), jnp.int32)
         )
-        return jnp.concatenate(parts, axis=0)          # (80, rows)
+        return jnp.concatenate(parts, axis=0)      # (RES_PLANES*8, rows)
 
+    rp8 = RES_PLANES * SUB
     res = res_block(center)
     tap = (jnp.concatenate([res_block(f, ok) for f, ok in taps], axis=0)
-           if t_n else jnp.zeros((80, rows), jnp.float32))
+           if t_n else jnp.zeros((rp8, rows), jnp.float32))
     seed_p = jnp.zeros((np_,), jnp.uint32).at[:p].set(seed).reshape(
         SUB, rows
     )
@@ -525,16 +636,15 @@ def di_spatial_pallas(lights_em_tab, seed, center, taps, pending,
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
-            pl.BlockSpec((80, LANES), lambda j: (0, j)),
-            pl.BlockSpec((max(t_n, 1) * 80, LANES), lambda j: (0, j)),
+            pl.BlockSpec((rp8, LANES), lambda j: (0, j)),
+            pl.BlockSpec((max(t_n, 1) * rp8, LANES), lambda j: (0, j)),
             pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
             pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
-            pl.BlockSpec((16, lights_em_tab.shape[1]), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
         interpret=_interpret(),
-    )(attr, res, tap, seed_p, flag, lights_em_tab)
+    )(attr, res, tap, seed_p, flag)
 
     def unplane(i, dtype=jnp.float32):
         flat = out[8 * i : 8 * i + 8, :].reshape(np_)[:p]
@@ -555,12 +665,3 @@ def di_spatial_pallas(lights_em_tab, seed, center, taps, pending,
     )
 
 
-def pack_light_table(light_v0, light_v1, light_v2, light_em):
-    l = light_v0.shape[0]
-    lp = _pad_to(l, 128)
-    tab = jnp.zeros((16, lp), jnp.float32)
-    tab = tab.at[0:3, :l].set(light_v0.T)
-    tab = tab.at[3:6, :l].set(light_v1.T)
-    tab = tab.at[6:9, :l].set(light_v2.T)
-    tab = tab.at[9:12, :l].set(light_em.T)
-    return tab

@@ -156,7 +156,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     def cond(c):
         return (c["i"] < cfg.bounces) & jnp.any(c["active"])
 
-    def body(c, coherent=True, reuse=None):
+    def body(c, coherent=True, reuse=None, first=False):
         i = c["i"]
         if reuse is not None:
             # The RIS pass already closest-traced these exact camera rays
@@ -247,6 +247,27 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             radiance = radiance + jnp.where(vis[:, None], contrib, 0.0)
             prev_did_nee = cand
 
+            if first and cfg.shadow_boundary_grads and cfg.differentiable:
+                # Visibility boundary gradients (render/boundary.py):
+                # zero in the primal, the silhouette-edge boundary
+                # integral of this NEE estimator in reverse mode — the
+                # term whose absence the occlusion envelope pins
+                # (AD = 0 vs FD, tests/test_grads.py).
+                from sunray_tpu.render import boundary
+
+                assert scene.edge_tri is not None, (
+                    "cfg.shadow_boundary_grads needs scene edge "
+                    "topology — build the scene through "
+                    "boundary.with_edge_topology(scene)"
+                )
+                bterm = boundary.nee_boundary_term(
+                    scene, lights, scene.world_triangle_vertices(),
+                    surf.pos, surf.normal, surf.albedo, nee_lane,
+                )
+                radiance = radiance + bterm * jax.lax.stop_gradient(
+                    throughput
+                )
+
         # BRDF bounce (ray_gen_final.slang:385-427) for surface lanes that
         # didn't trigger restir.
         brdf_lane = surface & ~trigger
@@ -330,8 +351,8 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
     # trace/shade/BRDF body with the rest of the frame instead of paying
     # the while_loop carry materialization (ops/loops.py).
     peel_body = (
-        (lambda c: body(c, reuse=first_hit)) if first_hit is not None
-        else body
+        (lambda c: body(c, reuse=first_hit, first=True))
+        if first_hit is not None else (lambda c: body(c, first=True))
     )
     c = bounded_loop(cond, peel_body, init, cfg.bounces,
                      cfg.differentiable,
@@ -676,32 +697,48 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
 
     use_di_kernel = (
         shared and not seq_taps and not cfg.differentiable
-        and num_lights <= 32 and jax.default_backend() == "tpu"
+        and jax.default_backend() == "tpu"
     )
     if use_di_kernel:
         # Whole phase-B DI reuse in one Pallas VMEM pass (center merge +
         # taps + resolve + winner f_y; ops/pallas_restir.py). The tap
         # FETCHES stay XLA shifts; the jnp branches below remain the
-        # CPU/differentiable/oracle paths.
-        from sunray_tpu.ops.pallas_restir import (
-            di_spatial_pallas,
-            pack_light_table,
-        )
+        # CPU/differentiable/oracle paths. No light-count cap (round 3
+        # gated this at 32): the reservoirs' light EMISSION is gathered
+        # once at the center pixels and shifted per tap alongside the
+        # other reservoir fields, so the kernel needs no in-VMEM light
+        # table at all.
+        from sunray_tpu.ops.linalg import gather_vec
+        from sunray_tpu.ops.pallas_restir import di_spatial_pallas
 
-        fetched = [di_fetch(dx, dy) for dx, dy in di_taps] \
-            if cfg.di_spatial_samples > 0 else []
+        def _em_of(res):
+            idx_cl = jnp.clip(res.light_idx, 0, num_lights - 1)
+            return gather_vec(lights.emission, idx_cl)           # (P, 3)
+
+        if cfg.di_spatial_samples > 0:
+            res_src = r_di_x if grid is not None else r_di
+            em_src = _em_of(res_src)
+            em_fetch = make_shared_fetch(
+                (res_src, em_src),
+                gnormal_x if grid is not None else gnormal,
+                gdepth_x if grid is not None else gdepth,
+            )
+            fetched = [em_fetch(dx, dy) for dx, dy in di_taps]
+        else:
+            fetched = []
         taps_k = [
-            (dict(light_pos=f[0].light_pos, light_normal=f[0].light_normal,
-                  W=f[0].W, M=f[0].M, light_idx=f[0].light_idx), f[2])
+            (dict(light_pos=f[0][0].light_pos,
+                  light_normal=f[0][0].light_normal,
+                  W=f[0][0].W, M=f[0][0].M, light_idx=f[0][0].light_idx,
+                  emission=f[0][1]), f[2])
             for f in fetched
         ]
         center_k = dict(
             light_pos=r_di.light_pos, light_normal=r_di.light_normal,
             W=r_di.W, M=r_di.M, light_idx=r_di.light_idx,
+            emission=_em_of(r_di),
         )
         seed, outk = di_spatial_pallas(
-            pack_light_table(lights.v0, lights.v1, lights.v2,
-                             lights.emission),
             seed, center_k, taps_k, pending,
             pos, normal, v_view, albedo, rough, metal,
             (cfg.di_temporal_w_clamp, cfg.di_temporal_m_clamp,

@@ -110,7 +110,10 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             history_shift_global=cfg.history_shift_global,
             history_force=cfg.history_gather_force,
             history_auto_min_retention=cfg.history_auto_min_retention,
-            kernel=cfg.taa_kernel,
+            # Differentiable frames stay on the jnp planes — the Pallas
+            # image kernels have no AD rules (same policy as the fused
+            # ReSTIR kernels, ops/pallas_restir.py).
+            kernel="jnp" if cfg.differentiable else cfg.taa_kernel,
         )
     else:
         accum = raw_img
@@ -123,7 +126,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             gbuf.roughness.reshape(h, w),
             gbuf.diffuse.reshape(h, w, 3),
             cfg.denoise_passes,
-            kernel=cfg.denoise_kernel,
+            kernel="jnp" if cfg.differentiable else cfg.denoise_kernel,
         )
     else:
         den = accum

@@ -57,9 +57,22 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
     auto-set by the Renderer from the concrete scene) because the scene is
     traced inside the frame function.
     """
-    tris = scene.world_triangle_vertices()
+    # The whole tracer context is non-differentiable BY CONSTRUCTION:
+    # traversal is a discrete oracle (Pallas kernels with no AD rules;
+    # topology/refit math whose gradients are meaningless), and gradients
+    # flow through the hit-attribute recompute in render/shade.py
+    # instead. stop_gradient here keeps reverse-mode AD from ever
+    # descending into the trace kernels — without it, a differentiable
+    # frame on TPU dies in pallas_call's jvp rule (the tangents of
+    # scene.positions reach the kernel operands through the refit).
+    sg = jax.lax.stop_gradient
+    tris = jax.tree_util.tree_map(sg, scene.world_triangle_vertices())
     n_tris = scene.num_tris
-    alpha_scene = scene if getattr(cfg, "alpha_mask_tracing", False) else None
+    alpha_scene = (
+        jax.tree_util.tree_map(sg, scene)
+        if getattr(cfg, "alpha_mask_tracing", False) else None
+    )
+    scene = jax.tree_util.tree_map(sg, scene)
     if accel is not None:
         from sunray_tpu.ops import binned_trace as binned_mod
         from sunray_tpu.ops import bvh2 as bvh2_mod
@@ -181,12 +194,15 @@ def trace_closest(ctx: TracerCtx, orig, d, tmin=intersect.T_MIN,
     (bounce/GI rays) — the binned backend coherence-sorts it first
     (ops/binned_trace._coherence_keys); other backends ignore the hint
     (the brute kernel and per-ray walks are order-independent)."""
-    hit = _raw_closest(ctx, orig, d, tmin, tmax, coherent=coherent)
     # The tracer is a discrete oracle: gradients flow through the
     # differentiable hit-attribute recompute in render/shade.py, never
     # through traversal itself (which may run as a Pallas kernel with no
-    # AD rule).
-    hit = jax.tree_util.tree_map(jax.lax.stop_gradient, hit)
+    # AD rule). Ray INPUTS are stopped too — differentiable ray origins
+    # (camera/vertex tangents) must not drag AD into the kernel call.
+    sg = jax.lax.stop_gradient
+    orig, d, tmin, tmax = sg(orig), sg(d), sg(tmin), sg(tmax)
+    hit = _raw_closest(ctx, orig, d, tmin, tmax, coherent=coherent)
+    hit = jax.tree_util.tree_map(sg, hit)
     if ctx.alpha_scene is None:
         return hit
     # Alpha cutout: re-trace past rejected MASK hits (IgnoreHit analog),
@@ -231,6 +247,10 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     triangle (a light sample or a reprojected GI surface point lies ON
     geometry; excluding it by id replaces the reference's self-occluding
     absolute TMax epsilon)."""
+    # Same AD boundary as trace_closest: occlusion is a step function of
+    # discrete traversal — stop the ray-input tangents at the kernel.
+    sg = jax.lax.stop_gradient
+    orig, d, tmin, tmax = sg(orig), sg(d), sg(tmin), sg(tmax)
     tmax = jnp.asarray(tmax)
     degenerate = tmax - tmin <= intersect.T_MIN
     if ctx.alpha_scene is not None:

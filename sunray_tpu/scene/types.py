@@ -194,6 +194,14 @@ class SceneBuffers:
     # triangle ids; a hardware TLAS doesn't — this is a TPU-native win.
     light_world_tri: jnp.ndarray  # (L,) int32 into the world triangle list
 
+    # Unique-edge topology for shadow-boundary gradients
+    # (render/boundary.py, cfg.shadow_boundary_grads): edge e = local
+    # edge edge_k[e] of world tri edge_tri[e, 0]; edge_tri[e, 1] is the
+    # adjacent face (-1 open). Populated by boundary.with_edge_topology
+    # at scene build (host-side); None when not needed.
+    edge_tri: Optional[jnp.ndarray] = None   # (E, 2) int32
+    edge_k: Optional[jnp.ndarray] = None     # (E,) int32
+
     @property
     def num_tris(self) -> int:
         return self.tri_vidx.shape[0]

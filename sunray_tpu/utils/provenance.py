@@ -26,27 +26,33 @@ def exec_paths(cfg, num_lights: int, backend: str | None = None) -> dict:
         import jax
 
         backend = jax.default_backend()
-    from sunray_tpu.ops.pallas_restir import kernel_max_lights
+    from sunray_tpu.ops.pallas_restir import (
+        kernel_max_lights,
+        ris_fetch_mode,
+    )
 
-    cap = kernel_max_lights()
     tpu = backend == "tpu"
-    fits = num_lights <= cap
 
-    ris_fused = tpu and fits and not cfg.differentiable
+    # Round 4 lifted the light cap: the fused kernels take any count
+    # (select chain <= 32, one-hot MXU <= kernel_max_lights(), RTXDI-
+    # style presampled tiles beyond). Only backend and differentiability
+    # gate the dispatch now.
+    ris_fused = tpu and not cfg.differentiable
     di_fused = (
-        tpu and fits and not cfg.differentiable
-        and cfg.spatial_taps == "shared"
+        tpu and not cfg.differentiable and cfg.spatial_taps == "shared"
     )
     return {
         "backend": backend,
         "num_lights": num_lights,
-        "kernel_max_lights": cap,
+        "exact_fetch_max_lights": kernel_max_lights(),
         "differentiable": cfg.differentiable,
         "ris_audition": "pallas-fused" if ris_fused else "jnp",
+        "ris_fetch": ris_fetch_mode(num_lights) if ris_fused else "-",
         "di_spatial": "pallas-fused" if di_fused else "jnp",
         "denoise": (
             "pallas-banded" if cfg.denoise_kernel in ("auto", "pallas")
-            and tpu and cfg.denoise_passes > 0 else "jnp"
+            and tpu and cfg.denoise_passes > 0
+            and not cfg.differentiable else "jnp"
         ),
         "taa": (
             "pallas" if cfg.taa_kernel == "pallas" and tpu and cfg.enable_taa

@@ -140,26 +140,40 @@ class TestProvenance:
 
     def test_mirrors_dispatch_predicates(self):
         from sunray_tpu.config import RenderConfig
-        from sunray_tpu.ops.pallas_restir import MAX_LIGHTS, kernel_max_lights
+        from sunray_tpu.ops.pallas_restir import (
+            MAX_LIGHTS,
+            ONEHOT_MAX,
+            kernel_max_lights,
+            ris_fetch_mode,
+        )
         from sunray_tpu.utils.provenance import exec_paths
 
-        assert kernel_max_lights() == MAX_LIGHTS
+        assert kernel_max_lights() == ONEHOT_MAX
+        assert ris_fetch_mode(MAX_LIGHTS) == "select"
+        assert ris_fetch_mode(MAX_LIGHTS + 1) == "onehot"
+        assert ris_fetch_mode(ONEHOT_MAX) == "onehot"
+        assert ris_fetch_mode(ONEHOT_MAX + 1) == "presampled"
 
         cfg = RenderConfig(lighting="restir")
-        # On TPU with a fitting table both fused kernels engage.
+        # On TPU both fused kernels engage at ANY light count (round 4
+        # lifted the 32-light cap); the fetch strategy is recorded.
         ep = exec_paths(cfg, num_lights=2, backend="tpu")
         assert ep["ris_audition"] == "pallas-fused"
+        assert ep["ris_fetch"] == "select"
         assert ep["di_spatial"] == "pallas-fused"
-        # Above the cap: silent fallback -> recorded as jnp.
-        ep = exec_paths(cfg, num_lights=kernel_max_lights() + 1,
-                        backend="tpu")
-        assert ep["ris_audition"] == "jnp"
-        assert ep["di_spatial"] == "jnp"
+        ep = exec_paths(cfg, num_lights=300, backend="tpu")
+        assert ep["ris_audition"] == "pallas-fused"
+        assert ep["ris_fetch"] == "onehot"
+        assert ep["di_spatial"] == "pallas-fused"
+        ep = exec_paths(cfg, num_lights=65536, backend="tpu")
+        assert ep["ris_fetch"] == "presampled"
         # Differentiable frames route gradients through the jnp planes
-        # (gbuffer.py kernel="jnp", pathtrace use_di_kernel predicate).
+        # (gbuffer.py kernel="jnp", pathtrace use_di_kernel predicate) —
+        # including the image kernels (render/pipeline.py).
         ep = exec_paths(cfg.replace(differentiable=True), 2, backend="tpu")
         assert ep["ris_audition"] == "jnp"
         assert ep["di_spatial"] == "jnp"
+        assert ep["denoise"] == "jnp"
         # CPU backend never runs the TPU kernels.
         ep = exec_paths(cfg, 2, backend="cpu")
         assert ep["ris_audition"] == "jnp"
