@@ -698,6 +698,7 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     use_di_kernel = (
         shared and not seq_taps and not cfg.differentiable
         and jax.default_backend() == "tpu"
+        and os.environ.get("SUNRAY_TPU_FORCE_JNP_RESTIR", "0") != "1"
     )
     if use_di_kernel:
         # Whole phase-B DI reuse in one Pallas VMEM pass (center merge +

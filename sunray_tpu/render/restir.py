@@ -16,6 +16,8 @@ Everything is per-pixel-parallel over flat (P,) arrays.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -200,7 +202,11 @@ def ris_audition(lights: Lights, seed, hit_pos, hit_normal, v_view, albedo,
     k = candidates
     num_lights = lights.num
 
-    if kernel == "auto" and jax.default_backend() == "tpu":
+    # SUNRAY_TPU_FORCE_JNP_RESTIR=1 (read at trace time): keep the jnp
+    # planes even on TPU — the fused-vs-jnp A/B harness knob
+    # (examples/ab_many_lights.py).
+    if (kernel == "auto" and jax.default_backend() == "tpu"
+            and os.environ.get("SUNRAY_TPU_FORCE_JNP_RESTIR", "0") != "1"):
         from sunray_tpu.ops.pallas_restir import ris_audition_pallas
 
         got = ris_audition_pallas(

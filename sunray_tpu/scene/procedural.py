@@ -119,6 +119,57 @@ def cornell_box(light_emission: float = 15.0) -> SceneBuffers:
     return b.build()
 
 
+def cornell_box_many_lights(panels: int = 12,
+                            light_emission: float = 15.0) -> SceneBuffers:
+    """Cornell box whose single area light is replaced by a panels x
+    panels grid of small ceiling emitters — 2*panels^2 emissive
+    triangles (e.g. panels=12 -> 288 lights, panels=16 -> 512). The
+    many-light audition case: the reference samples uniformly over an
+    arbitrary emissive arena (ray_gen_ris.slang:189-231,
+    resource_manager.rs:14 65,536 slots). Per-panel emission is scaled
+    by the grid's fill factor so total radiant power matches the single
+    big light's."""
+    b = _MeshBuilder()
+    white = b.add_material(base_color=(0.73, 0.73, 0.73, 1.0), roughness=1.0)
+    red = b.add_material(base_color=(0.65, 0.05, 0.05, 1.0), roughness=1.0)
+    green = b.add_material(base_color=(0.12, 0.45, 0.15, 1.0), roughness=1.0)
+
+    s = 2.0
+    b.add_quad((0, 0, 0), (0, 0, s), (s, 0, s), (s, 0, 0), white)
+    b.add_quad((0, s, 0), (s, s, 0), (s, s, s), (0, s, s), white)
+    b.add_quad((0, 0, 0), (s, 0, 0), (s, s, 0), (0, s, 0), white)
+    b.add_quad((0, 0, 0), (0, s, 0), (0, s, s), (0, 0, s), red)
+    b.add_quad((s, 0, 0), (s, 0, s), (s, s, s), (s, s, 0), green)
+
+    lx0, lx1 = 0.65 * s / 2.0, 1.35 * s / 2.0
+    ly = s - 0.01
+    span = lx1 - lx0
+    cell = span / panels
+    fill = 0.6                      # panel side / cell side
+    scale = 1.0 / (fill * fill)     # keep total power ~ the single light
+    light = b.add_material(
+        base_color=(1.0, 1.0, 1.0, 1.0),
+        emissive_factor=(1.0, 1.0, 1.0, light_emission * scale),
+        roughness=1.0,
+    )
+    half = 0.5 * fill * cell
+    for i in range(panels):
+        for j in range(panels):
+            cx = lx0 + (i + 0.5) * cell
+            cz = lx0 + (j + 0.5) * cell
+            b.add_quad(
+                (cx - half, ly, cz - half), (cx + half, ly, cz - half),
+                (cx + half, ly, cz + half), (cx - half, ly, cz + half),
+                light,
+            )
+
+    b.add_box((0.65, 0.6, 0.65), (0.6, 1.2, 0.6), white,
+              rotate_y=np.deg2rad(18.0))
+    b.add_box((1.4, 0.3, 1.3), (0.6, 0.6, 0.6), white,
+              rotate_y=np.deg2rad(-17.0))
+    return b.build()
+
+
 def reflection_room(light_emission: float = 12.0) -> SceneBuffers:
     """Room with a mirror wall, a glass sphere-ish box, and an area light.
 

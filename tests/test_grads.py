@@ -155,8 +155,12 @@ class TestOcclusionBoundaryEnvelope:
     over floor pixels only (receiver of the boxes' shadows, the boxes
     themselves excluded from the mask) under a translation of the box
     vertices has AD == 0 exactly, while central FD sees the shadow move.
-    If a warped-area/reparameterized boundary estimator ever lands, the
-    AD assertion here must flip from == 0 to matching FD."""
+
+    Round 4: the boundary estimator EXISTS now (render/boundary.py,
+    cfg.shadow_boundary_grads, default OFF) — this test keeps pinning
+    the DEFAULT config's envelope, and
+    TestOcclusionBoundaryMatched asserts the AD==FD flip side with the
+    estimator enabled."""
 
     def test_shadow_boundary_has_no_ad_gradient(self, scene):
         pos0 = np.asarray(scene.positions)
@@ -208,3 +212,96 @@ class TestOcclusionBoundaryEnvelope:
             f"FD {fd}) — did a boundary estimator land? Update the PARITY "
             "envelope."
         )
+
+
+class TestOcclusionBoundaryMatched:
+    """Round 4: the warped-area-class estimator LANDED for first-bounce
+    NEE (render/boundary.py, cfg.shadow_boundary_grads) — this is the
+    envelope test's flip side: with the boundary term on, AD must MATCH
+    central FD on an occluder-translation case (VERDICT r3 item 3).
+
+    Scene design notes (each guards a measured failure of a naive test):
+      - the occluder FLOATS above the floor so its shadow is away from
+        its own base (the classic Cornell boxes' shadows hug the base,
+        where primary-silhouette pixel flips dominate FD);
+      - the loss reads the RAW radiance (aux["raw"]), which is linear in
+        the estimator: any nonlinear post-transform (even gamma) of a
+        discrete 1-spp visibility sample biases pathwise AD vs FD of
+        the expectation — measured ratio 0.27 through gamma vs 0.98 raw;
+      - FD averages K=12 independently-seeded frames: a single frame's
+        central FD is per-pixel visibility-flip noise;
+      - the floor mask is eroded 3 px so the box's screen silhouette
+        (whose gradient needs edge_antialias, not this estimator) can't
+        leak in at the tested eps.
+
+    Measured 2026-08-20 (CPU, 64x48, K=12): AD -0.9252 vs FD -0.9447
+    (eps 2e-2) / -0.9363 (eps 1e-2) — ratios 0.979 / 0.988."""
+
+    @pytest.mark.slow
+    def test_shadow_boundary_ad_matches_fd(self):
+        from scipy import ndimage
+
+        from sunray_tpu.render import boundary
+        from sunray_tpu.scene.procedural import _MeshBuilder
+
+        def floating_scene():
+            b = _MeshBuilder()
+            white = b.add_material(base_color=(0.73, 0.73, 0.73, 1.0),
+                                   roughness=1.0)
+            light = b.add_material(base_color=(1.0, 1.0, 1.0, 1.0),
+                                   emissive_factor=(1.0, 1.0, 1.0, 15.0),
+                                   roughness=1.0)
+            s = 2.0
+            b.add_quad((0, 0, 0), (0, 0, s), (s, 0, s), (s, 0, 0), white)
+            b.add_quad((0, 0, 0), (s, 0, 0), (s, s, 0), (0, s, 0), white)
+            b.add_quad((0, s, 0), (s, s, 0), (s, s, s), (0, s, s), white)
+            ly = s - 0.01
+            b.add_quad((0.95, ly, 0.65), (1.55, ly, 0.65),
+                       (1.55, ly, 1.35), (0.95, ly, 1.35), light)
+            b.add_box((0.9, 1.2, 1.0), (0.5, 0.25, 0.5), white)
+            return b.build()
+
+        scene0 = floating_scene()
+        pos0 = np.asarray(scene0.positions)
+        box_verts = np.nonzero((pos0[:, 1] > 1.0) & (pos0[:, 1] < 1.4))[0]
+        assert box_verts.size == 24
+        scene = boundary.with_edge_topology(scene0)
+        w_l, h_l = 64, 48
+        cam = Camera(position=(1.0, 1.7, 3.3), target=(1.0, 0.2, 0.7),
+                     fov_y=45.0)
+        mats = camera_matrices(cam, w_l, h_l)
+        cfg = RenderConfig(
+            width=w_l, height=h_l, lighting="nee", bounces=2,
+            virtual_bounces=2, denoise_passes=0, enable_taa=False,
+            differentiable=True, tonemap="none",
+            shadow_boundary_grads=True,
+        )
+        k_frames = 12
+
+        def render_k(dx):
+            p = jnp.asarray(pos0).at[jnp.asarray(box_verts), 0].add(dx)
+            sc = scene.replace(positions=p)
+            acc = 0.0
+            st = RenderState.create(cfg)
+            aux = None
+            for _ in range(k_frames):
+                st, _, aux = render_frame(sc, cfg, st, mats)
+                acc = acc + aux["raw"]
+            return acc / k_frames, aux
+
+        _, aux0 = jax.jit(lambda: render_k(0.0))()
+        floor = np.asarray(aux0["normal"])[..., 1] > 0.9
+        er = ndimage.binary_erosion(floor, iterations=3)
+        assert er.sum() > 300
+        mask = jnp.asarray(er[..., None].astype(np.float32))
+
+        def loss(dx):
+            img, _ = render_k(dx)
+            return jnp.sum(img * mask) / jnp.sum(mask)
+
+        g_ad = float(jax.jit(jax.grad(loss))(0.0))
+        lj = jax.jit(loss)
+        eps = 2e-2
+        fd = (float(lj(eps)) - float(lj(-eps))) / (2 * eps)
+        assert abs(fd) > 0.3, f"shadow FD signal too small: {fd}"
+        np.testing.assert_allclose(g_ad, fd, rtol=0.20)
