@@ -665,3 +665,219 @@ def di_spatial_pallas(seed, center, taps, pending,
     )
 
 
+
+
+GI_ATTR_PLANES = 10    # pos 3, normal 3, albedo 3, metallic
+GI_RES_PLANES = 12     # spos 3, snrm 3, srad 3, stri, w_sum, M (center)
+GI_TAP_PLANES = 14     # spos 3, snrm 3, srad 3, stri, W, M, jac, ok
+
+
+def _gi_spatial_kernel(attr_ref, res_ref, tap_ref, seed_ref, flag_ref,
+                       out_ref, *, t_n, w_clamp):
+    """Phase-B GI spatial reuse merge + final resolve in VMEM
+    (ray_gen_final.slang:224-327, minus the per-tap visibility rays and
+    jacobian reconstruction, which stay outside — they need the tracer
+    and the camera matrices). Replaces the (T, P) jnp p_hat planes +
+    merge chain + winner selects + final-resolve chains.
+
+    attr (80, L):  0-2 pos, 3-5 normal, 6-8 albedo, 9 metallic.
+    res  (96, L):  center reservoir — 0-2 sample_pos, 3-5 sample_normal,
+                   6-8 sample_radiance, 9 sample_tri (bitcast), 10 w_sum,
+                   11 M.
+    tap  (t_n*112, L): per tap — 0-2 spos, 3-5 snrm, 6-8 srad, 9 stri
+                   (bitcast), 10 W, 11 M, 12 jac, 13 ok (bitcast int).
+    out  (128, L): 0-2 gdir, 3 gdist, 4 sample_tri (bitcast), 5 try_gi
+                   (0/1), 6-8 contrib_pre rgb (sample_radiance *
+                   albedo(1-metal)/pi * gndl * w_gi — multiply by
+                   throughput and mask by the final visibility outside),
+                   15 seed'."""
+
+    def attr(i):
+        return attr_ref[8 * i: 8 * i + 8, :]
+
+    px = [attr(0), attr(1), attr(2)]
+    nx = [attr(3), attr(4), attr(5)]
+    al = [attr(6), attr(7), attr(8)]
+    metal = attr(9)
+    pending = flag_ref[...] > 0
+    seed = seed_ref[...]
+
+    def gi_p_hat(spos, srad):
+        w = [spos[c] - px[c] for c in range(3)]
+        d = jnp.maximum(jnp.sqrt(jnp.maximum(
+            w[0] * w[0] + w[1] * w[1] + w[2] * w[2], 1e-20)), 1e-4)
+        wn = [w[c] / d for c in range(3)]
+        ndl = jnp.maximum(
+            nx[0] * wn[0] + nx[1] * wn[1] + nx[2] * wn[2], 0.0
+        )
+        p_hat = None
+        for c in range(3):
+            f_diffuse = al[c] * (1.0 - metal) / PI
+            contrib = srad[c] * f_diffuse * ndl
+            p_hat = contrib if p_hat is None else jnp.maximum(p_hat,
+                                                              contrib)
+        return p_hat
+
+    def g(ref, off, i):
+        return ref[off + 8 * i: off + 8 * i + 8, :]
+
+    r_pos = [g(res_ref, 0, i) for i in range(3)]
+    r_nrm = [g(res_ref, 0, 3 + i) for i in range(3)]
+    r_rad = [g(res_ref, 0, 6 + i) for i in range(3)]
+    r_tri = jax.lax.bitcast_convert_type(g(res_ref, 0, 9), jnp.int32)
+    w_sum = g(res_ref, 0, 10)
+    m_acc = g(res_ref, 0, 11)
+
+    for t in range(t_n):
+        off = t * GI_TAP_PLANES * SUB
+        spos = [g(tap_ref, off, i) for i in range(3)]
+        snrm = [g(tap_ref, off, 3 + i) for i in range(3)]
+        srad = [g(tap_ref, off, 6 + i) for i in range(3)]
+        stri = jax.lax.bitcast_convert_type(g(tap_ref, off, 9), jnp.int32)
+        w_t = g(tap_ref, off, 10)
+        m_t = g(tap_ref, off, 11)
+        jac = g(tap_ref, off, 12)
+        ok = jax.lax.bitcast_convert_type(g(tap_ref, off, 13),
+                                          jnp.int32) > 0
+        p_hat_n = gi_p_hat(spos, srad)
+        m_acc = m_acc + jnp.where(ok, m_t, 0.0)
+        weight = jnp.where(ok, p_hat_n * w_t * m_t * jac, 0.0)
+        w_sum = w_sum + weight
+        seed, u = _rnd(seed)
+        take = ok & (u < weight / jnp.maximum(w_sum, 1e-4))
+        r_tri = jnp.where(take, stri, r_tri)
+        for c in range(3):
+            r_pos[c] = jnp.where(take, spos[c], r_pos[c])
+            r_nrm[c] = jnp.where(take, snrm[c], r_nrm[c])
+            r_rad[c] = jnp.where(take, srad[c], r_rad[c])
+
+    # Final resolve (ray_gen_final.slang:305-327).
+    p_hat_f = gi_p_hat(r_pos, r_rad)
+    w_gi = jnp.where(
+        p_hat_f > 1e-3,
+        w_sum / jnp.maximum(m_acc, 1.0) / jnp.maximum(p_hat_f, 1e-9),
+        0.0,
+    )
+    w_gi = jnp.minimum(w_gi, w_clamp)
+    gv = [r_pos[c] - px[c] for c in range(3)]
+    gdist = jnp.maximum(jnp.sqrt(jnp.maximum(
+        gv[0] * gv[0] + gv[1] * gv[1] + gv[2] * gv[2], 1e-20)), 1e-4)
+    gdir = [gv[c] / gdist for c in range(3)]
+    gndl = jnp.maximum(
+        nx[0] * gdir[0] + nx[1] * gdir[1] + nx[2] * gdir[2], 0.0
+    )
+    try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
+
+    def put(i, plane):
+        out_ref[8 * i: 8 * i + 8, :] = plane
+
+    put(0, gdir[0])
+    put(1, gdir[1])
+    put(2, gdir[2])
+    put(3, gdist)
+    put(4, jax.lax.bitcast_convert_type(r_tri, jnp.float32))
+    put(5, jnp.where(try_gi, 1.0, 0.0))
+    for c in range(3):
+        f_diffuse = al[c] * (1.0 - metal) / PI
+        put(6 + c, r_rad[c] * f_diffuse * gndl * w_gi)
+    z8 = jnp.zeros_like(metal)
+    for i in range(9, 15):
+        put(i, z8)
+    put(15, jax.lax.bitcast_convert_type(seed, jnp.float32))
+
+
+def gi_spatial_pallas(seed, center, taps, pending, hit_pos, hit_normal,
+                      albedo, metallic, w_clamp):
+    """GI phase-B merge + resolve forward. center: dict with sample_pos/
+    sample_normal/sample_radiance (P,3), sample_tri (P,) int, w_sum, M;
+    taps: list of dicts with the same sample fields plus W, M, jac, ok.
+    Returns (seed', dict(gdir (P,3), gdist, sample_tri, try_gi,
+    contrib_pre (P,3))). Gradients route through the jnp planes (the
+    dispatcher keeps differentiable frames off this kernel)."""
+    p = hit_pos.shape[0]
+    t_n = len(taps)
+    np_ = _pad_to(max(p, BLOCK), BLOCK)
+    rows = np_ // SUB
+
+    def plane(x, dtype=jnp.float32):
+        buf = jnp.zeros((np_,), dtype)
+        if dtype == jnp.float32:
+            buf = buf.at[:p].set(x.astype(jnp.float32))
+        else:
+            buf = buf.at[:p].set(x)
+            buf = jax.lax.bitcast_convert_type(buf, jnp.float32)
+        return buf.reshape(SUB, rows)
+
+    attr = jnp.concatenate(
+        [plane(hit_pos[:, 0]), plane(hit_pos[:, 1]), plane(hit_pos[:, 2]),
+         plane(hit_normal[:, 0]), plane(hit_normal[:, 1]),
+         plane(hit_normal[:, 2]),
+         plane(albedo[:, 0]), plane(albedo[:, 1]), plane(albedo[:, 2]),
+         plane(metallic)],
+        axis=0,
+    )                                           # (80, rows)
+
+    def sample_planes(f):
+        return [
+            plane(f["sample_pos"][:, 0]), plane(f["sample_pos"][:, 1]),
+            plane(f["sample_pos"][:, 2]),
+            plane(f["sample_normal"][:, 0]),
+            plane(f["sample_normal"][:, 1]),
+            plane(f["sample_normal"][:, 2]),
+            plane(f["sample_radiance"][:, 0]),
+            plane(f["sample_radiance"][:, 1]),
+            plane(f["sample_radiance"][:, 2]),
+            plane(f["sample_tri"].astype(jnp.int32), jnp.int32),
+        ]
+
+    res = jnp.concatenate(
+        sample_planes(center) + [plane(center["w_sum"]),
+                                 plane(center["M"])],
+        axis=0,
+    )                                           # (96, rows)
+    tap_blocks = []
+    for f in taps:
+        tap_blocks.append(jnp.concatenate(
+            sample_planes(f)
+            + [plane(f["W"]), plane(f["M"]), plane(f["jac"]),
+               plane(f["ok"].astype(jnp.int32), jnp.int32)],
+            axis=0,
+        ))
+    rp8 = GI_TAP_PLANES * SUB
+    tap = (jnp.concatenate(tap_blocks, axis=0) if t_n
+           else jnp.zeros((rp8, rows), jnp.float32))
+    seed_p = jnp.zeros((np_,), jnp.uint32).at[:p].set(seed).reshape(
+        SUB, rows
+    )
+    flag = plane(pending.astype(jnp.int32), jnp.int32)
+    flag = jax.lax.bitcast_convert_type(flag, jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_gi_spatial_kernel, t_n=t_n, w_clamp=w_clamp),
+        grid=(rows // LANES,),
+        in_specs=[
+            pl.BlockSpec((GI_ATTR_PLANES * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((GI_RES_PLANES * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((max(t_n, 1) * rp8, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
+        interpret=_interpret(),
+    )(attr, res, tap, seed_p, flag)
+
+    def unplane(i, dtype=jnp.float32):
+        flat = out[8 * i: 8 * i + 8, :].reshape(np_)[:p]
+        if dtype != jnp.float32:
+            return jax.lax.bitcast_convert_type(flat, dtype)
+        return flat
+
+    return unplane(15, jnp.uint32), dict(
+        gdir=jnp.stack([unplane(0), unplane(1), unplane(2)], axis=-1),
+        gdist=unplane(3),
+        sample_tri=unplane(4, jnp.int32),
+        try_gi=unplane(5) > 0.5,
+        contrib_pre=jnp.stack([unplane(6), unplane(7), unplane(8)],
+                              axis=-1),
+    )

@@ -925,6 +925,43 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             (nr, ok_pre & ~occ_all[k * p : (k + 1) * p], jac)
             for k, (nr, ok_pre, jac) in enumerate(preps)
         ]
+        if use_di_kernel:
+            # Whole GI merge + final resolve in one Pallas VMEM pass
+            # (ops/pallas_restir.gi_spatial_pallas) — the (T, P) p_hat
+            # planes, merge chain, winner selects and resolve chains
+            # below collapse into registers; tap fetches/jacobians/
+            # visibility stay outside (they need shifts + the tracer).
+            from sunray_tpu.ops.pallas_restir import gi_spatial_pallas
+
+            center_g = dict(
+                sample_pos=combined.sample_pos,
+                sample_normal=combined.sample_normal,
+                sample_radiance=combined.sample_radiance,
+                sample_tri=combined.sample_tri,
+                w_sum=combined.w_sum, M=combined.M,
+            )
+            taps_g = [
+                dict(sample_pos=nr.sample_pos,
+                     sample_normal=nr.sample_normal,
+                     sample_radiance=nr.sample_radiance,
+                     sample_tri=nr.sample_tri,
+                     W=nr.W, M=nr.M, jac=jac, ok=ok_i)
+                for nr, ok_i, jac in preps
+            ]
+            seed, outg = gi_spatial_pallas(
+                seed, center_g, taps_g, pending, pos, normal, albedo,
+                metal, cfg.gi_spatial_w_clamp,
+            )
+            gdir = outg["gdir"]
+            gdist = outg["gdist"]
+            gi_tri = outg["sample_tri"]
+            try_gi = outg["try_gi"]
+            gi_contrib_pre = outg["contrib_pre"]
+            return _gi_radiance_add(
+                radiance, tracer, pos, sdir, sdist, di_exclude, has,
+                facing, f_y_w, w_spatial, throughput, gdir, gdist,
+                gi_tri, try_gi, gi_contrib_pre, p,
+            )
         pl = lambda f: jnp.stack(f, axis=0)               # (T, P) rows
         spos = [pl([pr[0].sample_pos[:, a] for pr in preps])
                 for a in range(3)]
@@ -1006,24 +1043,37 @@ def _spatial_reuse(scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
     gdir = gvec / gdist[:, None]
     gndl = jnp.maximum(dot(normal, gdir), 0.0)
     try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
+    f_diffuse = albedo * (1.0 - metal[:, None]) / PI
+    gi_contrib_pre = (
+        combined.sample_radiance * f_diffuse * (gndl * w_gi)[:, None]
+    )
+    return _gi_radiance_add(
+        radiance, tracer, pos, sdir, sdist, di_exclude, has, facing,
+        f_y_w, w_spatial, throughput, gdir, gdist, combined.sample_tri,
+        try_gi, gi_contrib_pre, p,
+    )
+
+
+def _gi_radiance_add(radiance, tracer, pos, sdir, sdist, di_exclude, has,
+                     facing, f_y_w, w_spatial, throughput, gdir, gdist,
+                     gi_tri, try_gi, gi_contrib_pre, p):
+    """Shared phase-B tail: ONE trace for the DI winner shadow ray + the
+    GI final visibility ray, then the radiance adds in the reference's
+    order (DI then GI, ray_gen_final.slang:203-222, 305-327)."""
     occ2 = trace_occluded(
         tracer,
         jnp.concatenate([pos, pos], axis=0),
         jnp.concatenate([sdir, gdir], axis=0),
         jnp.concatenate([sdist, gdist], axis=0),
-        exclude=jnp.concatenate([di_exclude, combined.sample_tri], axis=0),
+        exclude=jnp.concatenate([di_exclude, gi_tri], axis=0),
         coherent=False,
     )
-    # Radiance adds keep the original order (DI then GI) bit-exactly.
     lit = has & facing & ~occ2[:p]
     radiance = radiance + jnp.where(
         lit[:, None], f_y_w * throughput * w_spatial[:, None], 0.0
     )
     ok_gi = try_gi & ~occ2[p:]
-    f_diffuse = albedo * (1.0 - metal[:, None]) / PI
     radiance = radiance + jnp.where(
-        ok_gi[:, None],
-        combined.sample_radiance * f_diffuse * (gndl * w_gi)[:, None] * throughput,
-        0.0,
+        ok_gi[:, None], gi_contrib_pre * throughput, 0.0
     )
     return radiance

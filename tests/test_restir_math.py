@@ -540,3 +540,121 @@ class TestManyLightAudition:
         m_tile = float(np.mean(means_t))
         err = abs(m_tile - m_exact) / m_exact
         assert err < 0.05, (m_exact, m_tile, err)
+
+
+class TestPallasGiSpatialMatches:
+    """ops/pallas_restir.gi_spatial_pallas vs the jnp merge + resolve
+    chain on synthetic GI reservoirs (interpret mode). Mirrors
+    TestPallasDiSpatialMatches' tolerance scheme (FMA-contraction noise
+    with a take-flip allowance)."""
+
+    def test_matches_jnp_chain(self):
+        from sunray_tpu.ops import rng as rng_mod
+        from sunray_tpu.ops.brdf import gi_target_pdf
+        from sunray_tpu.ops.pallas_restir import gi_spatial_pallas
+
+        p = 4096
+        rng = np.random.default_rng(33)
+        pos = jnp.asarray(rng.uniform(0.2, 1.8, (p, 3)), jnp.float32)
+        n = rng.normal(size=(p, 3)); n /= np.linalg.norm(n, axis=1,
+                                                         keepdims=True)
+        n = jnp.asarray(n, jnp.float32)
+        alb = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+        metal = jnp.asarray(rng.uniform(0, 1, (p,)), jnp.float32)
+        pending = jnp.asarray(rng.random(p) > 0.2)
+        seed0 = jnp.asarray(rng.integers(0, 2**32, p, dtype=np.uint32))
+        w_clamp = 20.0
+
+        def mk(seedv, with_tap=False):
+            r2 = np.random.default_rng(seedv)
+            d = dict(
+                sample_pos=jnp.asarray(
+                    r2.uniform(0, 2, (p, 3)), jnp.float32),
+                sample_normal=jnp.asarray(
+                    r2.normal(size=(p, 3))
+                    / np.linalg.norm(r2.normal(size=(p, 3)), axis=1,
+                                     keepdims=True), jnp.float32),
+                sample_radiance=jnp.asarray(
+                    r2.uniform(0, 4, (p, 3)), jnp.float32),
+                sample_tri=jnp.asarray(
+                    r2.integers(0, 50, p).astype(np.int32)),
+            )
+            if with_tap:
+                d.update(
+                    W=jnp.asarray(r2.uniform(0, 10, p), jnp.float32),
+                    M=jnp.asarray(r2.uniform(0, 12, p), jnp.float32),
+                    jac=jnp.asarray(r2.uniform(0, 3, p), jnp.float32),
+                    ok=jnp.asarray(r2.random(p) > 0.3),
+                )
+            else:
+                d.update(
+                    w_sum=jnp.asarray(r2.uniform(0, 20, p), jnp.float32),
+                    M=jnp.asarray(r2.uniform(0, 12, p), jnp.float32),
+                )
+            return d
+
+        center = mk(1)
+        taps = [mk(2, True), mk(3, True), mk(4, True)]
+
+        s_k, outk = gi_spatial_pallas(
+            seed0, center, taps, pending, pos, n, alb, metal, w_clamp,
+        )
+
+        # jnp reference chain (the batched-planar semantics of
+        # render/pathtrace._spatial_reuse's GI merge).
+        seed = seed0
+        w_sum = center["w_sum"]
+        m_acc = center["M"]
+        r = {k: center[k] for k in ("sample_pos", "sample_normal",
+                                    "sample_radiance", "sample_tri")}
+        for t in taps:
+            p_hat_n = gi_target_pdf(pos, n, alb, metal,
+                                    t["sample_pos"], t["sample_radiance"])
+            ok = t["ok"]
+            m_acc = m_acc + jnp.where(ok, t["M"], 0.0)
+            weight = jnp.where(ok, p_hat_n * t["W"] * t["M"] * t["jac"],
+                               0.0)
+            w_sum = w_sum + weight
+            seed, u = rng_mod.rnd(seed)
+            take = ok & (u < weight / jnp.maximum(w_sum, 1e-4))
+            for k in r:
+                tk = t[k]
+                r[k] = jnp.where(
+                    take[:, None] if tk.ndim == 2 else take, tk, r[k]
+                )
+        p_hat_f = gi_target_pdf(pos, n, alb, metal, r["sample_pos"],
+                                r["sample_radiance"])
+        w_gi = jnp.where(
+            p_hat_f > 1e-3,
+            w_sum / jnp.maximum(m_acc, 1.0) / jnp.maximum(p_hat_f, 1e-9),
+            0.0,
+        )
+        w_gi = jnp.minimum(w_gi, w_clamp)
+        gvec = r["sample_pos"] - pos
+        gdist = jnp.maximum(
+            jnp.sqrt(jnp.sum(gvec * gvec, -1)), 1e-4)
+        gdir = gvec / gdist[:, None]
+        gndl = jnp.maximum(jnp.sum(n * gdir, -1), 0.0)
+        try_gi = pending & (w_gi > 0.0) & (gndl > 0.0)
+        from sunray_tpu.ops.brdf import PI
+        f_diffuse = alb * (1.0 - metal[:, None]) / PI
+        contrib = r["sample_radiance"] * f_diffuse * (gndl * w_gi)[:, None]
+
+        np.testing.assert_array_equal(np.asarray(s_k), np.asarray(seed))
+        # Winner agreement with take-flip allowance; exact on agreeing
+        # lanes for the pure-select fields.
+        same = (np.asarray(outk["sample_tri"])
+                == np.asarray(r["sample_tri"]))
+        assert same.mean() > 0.99, same.mean()
+        np.testing.assert_allclose(
+            np.asarray(outk["gdist"])[same], np.asarray(gdist)[same],
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(outk["gdir"])[same], np.asarray(gdir)[same],
+            rtol=1e-4, atol=1e-5)
+        agree_try = (np.asarray(outk["try_gi"])[same]
+                     == np.asarray(try_gi)[same]).mean()
+        assert agree_try > 0.999, agree_try
+        np.testing.assert_allclose(
+            np.asarray(outk["contrib_pre"])[same],
+            np.asarray(contrib)[same], rtol=2e-3, atol=1e-5)
