@@ -34,6 +34,7 @@ from sunray_tpu.ops.brdf import (
     vec_norm,
     PI,
 )
+from sunray_tpu.ops import intersect
 from sunray_tpu.ops.loops import bounded_loop
 from sunray_tpu.render import restir
 from sunray_tpu.render.shade import shade_hits
@@ -119,9 +120,27 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
     def cond(c):
         return (c["i"] < cfg.virtual_bounces) & jnp.any(c["active"])
 
-    def body(c, coherent=True):
+    def body(c, coherent=True, first=False):
         hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
                             coherent=coherent)
+        if first:
+            # Shade round 0 through the SAME reconstructed-hit
+            # expression the final pass's reuse path builds from
+            # (first_tri, first_t) — the two shade_hits subgraphs then
+            # have identical operands and XLA CSE merges them (one
+            # shade of the camera hit per frame instead of two).
+            # Bit-identical: shade recomputes u/v differentiably for
+            # hit lanes and miss-lane garbage never escapes the masks.
+            tri0 = jnp.where(hit.hit, hit.tri, -1)
+            t0 = jnp.where(hit.hit, hit.t, jnp.float32(1e9))
+            hm = tri0 >= 0
+            hit = intersect.Hit(
+                t=jnp.where(hm, t0, jnp.inf),
+                tri=jnp.maximum(tri0, 0),
+                u=jnp.zeros_like(t0),
+                v=jnp.zeros_like(t0),
+                hit=hm,
+            )
         surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
         live = c["active"] & surf.valid
         miss = c["active"] & ~surf.valid
@@ -161,7 +180,9 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
             metallic=jnp.where(rec, metallic, c["metallic"]),
             v_view=sel3(rec, -c["ray_d"], c["v_view"]),
             # Raw FIRST-hit visibility (pre mirror/glass walk) — reused by
-            # the edge-AA pass so it needn't re-trace primary rays.
+            # the edge-AA pass and the final pass's peeled round (which
+            # rebuilds EXACTLY the hit expression shaded above, see the
+            # `first` branch) so neither re-traces primary rays.
             first_tri=jnp.where(
                 is_first, jnp.where(hit.hit, hit.tri, -1), c["first_tri"]
             ),
@@ -172,7 +193,8 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
 
     # peel=1: the primary-ray round always runs; fusing it with the frame
     # avoids one while_loop carry materialization (ops/loops.py).
-    c = bounded_loop(cond, body, init, cfg.virtual_bounces, cfg.differentiable,
+    c = bounded_loop(cond, lambda c: body(c, first=True), init,
+                     cfg.virtual_bounces, cfg.differentiable,
                      loop_body=lambda c: body(c, coherent=False),
                      peel=1)
     return c
