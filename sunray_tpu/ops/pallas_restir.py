@@ -881,3 +881,254 @@ def gi_spatial_pallas(seed, center, taps, pending, hit_pos, hit_normal,
         contrib_pre=jnp.stack([unplane(6), unplane(7), unplane(8)],
                               axis=-1),
     )
+
+
+DT_ATTR_PLANES = 16  # pos 3, normal 3, view 3, albedo 3, rough, metal,
+                     # virtual_distance, ok (bitcast)
+DT_R_PLANES = 13     # audition result: lpos 3, lnrm 3, w_sum, M, idx
+                     # (bitcast), W, winner emission 3
+DT_H_PLANES = 16     # history: lpos 3, lnrm 3, W, M, idx (bitcast),
+                     # em 3, hit_normal 3, depth
+
+
+def _di_temporal_kernel(attr_ref, r_ref, h_ref, seed_ref, out_ref, *,
+                        m_clamp, w_clamp):
+    """ReSTIR DI temporal reuse (ray_gen_ris.slang:233-267; the
+    post-gather math of render/restir.di_temporal_reuse) in VMEM: the
+    confidence smoothsteps, BOTH GGX p_hat evaluations (history sample
+    and merged winner), the merge, and the W re-resolve. The jittered
+    reprojection draw and the banded history GATHER stay outside (the
+    gather is a cross-pixel read, and the jitter draw precedes this
+    merge in the reference's per-pixel RNG stream — fusing into the
+    audition kernel would reorder the stream and change every image).
+
+    attr (128, L): 0-2 pos, 3-5 normal, 6-8 view, 9-11 albedo, 12 rough,
+                   13 metal, 14 virtual_distance, 15 ok (bitcast int —
+                   the post-gather validity: enable & reprojection ok &
+                   in-band).
+    r    (104, L): audition result + its winner's emission (the caller
+                   gathers emission at r.light_idx — needed for the
+                   merged-winner W resolve when the audition wins).
+    h    (128, L): gathered history + ITS sample's emission (gathered at
+                   h.light_idx, clamped).
+    out  (128, L): merged reservoir — 0-2 lpos, 3-5 lnrm, 6 w_sum, 7 M,
+                   8 idx (bitcast), 9 W, 15 seed'."""
+
+    def attr(i):
+        return attr_ref[8 * i: 8 * i + 8, :]
+
+    px = [attr(0), attr(1), attr(2)]
+    nx = [attr(3), attr(4), attr(5)]
+    vx = [attr(6), attr(7), attr(8)]
+    al = [attr(9), attr(10), attr(11)]
+    rough = attr(12)
+    metal = attr(13)
+    vdist = attr(14)
+    ok = jax.lax.bitcast_convert_type(attr(15), jnp.int32) > 0
+    seed = seed_ref[...]
+
+    ndv = jnp.maximum(
+        nx[0] * vx[0] + nx[1] * vx[1] + nx[2] * vx[2], 0.001
+    )
+    a_r = rough * rough
+    a2 = a_r * a_r
+
+    def eval_p_hat(lpos, lnrm, em):
+        l = [lpos[c] - px[c] for c in range(3)]
+        d2 = l[0] * l[0] + l[1] * l[1] + l[2] * l[2]
+        dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 1e-20)), 1e-4)
+        l = [l[c] / dist for c in range(3)]
+        ndl = jnp.maximum(nx[0] * l[0] + nx[1] * l[1] + nx[2] * l[2], 0.0)
+        cos_light = jnp.maximum(
+            -(lnrm[0] * l[0] + lnrm[1] * l[1] + lnrm[2] * l[2]), 0.0
+        )
+        lit = (ndl > 0.0) & (cos_light > 0.0)
+        h = [vx[c] + l[c] for c in range(3)]
+        h_n = jnp.maximum(
+            jnp.sqrt(jnp.maximum(h[0] * h[0] + h[1] * h[1]
+                                 + h[2] * h[2], 1e-20)), 1e-12
+        )
+        h = [h[c] / h_n for c in range(3)]
+        ndh = jnp.maximum(nx[0] * h[0] + nx[1] * h[1] + nx[2] * h[2], 0.0)
+        vdh = jnp.maximum(vx[0] * h[0] + vx[1] * h[1] + vx[2] * h[2], 0.0)
+        denom = ndh * ndh * (a2 - 1.0) + 1.0
+        d_term = a2 / (PI * denom * denom)
+        ggx_v = ndl * jnp.sqrt(ndv * ndv * (1.0 - a2) + a2)
+        ggx_l = ndv * jnp.sqrt(ndl * ndl * (1.0 - a2) + a2)
+        v_term = 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-4)
+        fres5 = (1.0 - vdh) ** 5
+        geometry = ndl * cos_light / jnp.maximum(dist * dist, 1e-4)
+        p_hat = None
+        for c in range(3):
+            f0 = 0.04 * (1.0 - metal) + al[c] * metal
+            f = f0 + (1.0 - f0) * fres5
+            specular = d_term * v_term * f
+            diffuse = al[c] * (1.0 - metal) * (1.0 - f) / PI
+            out_c = em[c] * (diffuse + specular) * geometry
+            out_c = jnp.where(lit, out_c, 0.0)
+            p_hat = out_c if p_hat is None else jnp.maximum(p_hat, out_c)
+        return p_hat
+
+    def g(ref, i):
+        return ref[8 * i: 8 * i + 8, :]
+
+    r_pos = [g(r_ref, i) for i in range(3)]
+    r_nrm = [g(r_ref, 3 + i) for i in range(3)]
+    r_wsum = g(r_ref, 6)
+    r_m = g(r_ref, 7)
+    r_idx = jax.lax.bitcast_convert_type(g(r_ref, 8), jnp.int32)
+    r_w = g(r_ref, 9)
+    r_em = [g(r_ref, 10 + i) for i in range(3)]
+
+    h_pos = [g(h_ref, i) for i in range(3)]
+    h_nrm = [g(h_ref, 3 + i) for i in range(3)]
+    h_w = jnp.minimum(g(h_ref, 6), w_clamp)
+    h_m = jnp.minimum(g(h_ref, 7), m_clamp)
+    h_idx = jax.lax.bitcast_convert_type(g(h_ref, 8), jnp.int32)
+    h_em = [g(h_ref, 9 + i) for i in range(3)]
+    h_hn = [g(h_ref, 12 + i) for i in range(3)]
+    h_depth = g(h_ref, 15)
+
+    # Confidence (di_temporal_reuse: normal/depth smoothstep gates).
+    def smoothstep(e0, e1, x):
+        t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    ndot = nx[0] * h_hn[0] + nx[1] * h_hn[1] + nx[2] * h_hn[2]
+    normal_conf = smoothstep(0.9, 0.99, ndot)
+    depth_diff = jnp.abs(vdist - h_depth) / jnp.maximum(vdist, 1e-4)
+    depth_conf = 1.0 - smoothstep(0.05, 0.20, depth_diff)
+    h_m = h_m * (normal_conf * depth_conf)
+
+    use = ok & (h_w > 0.0)
+    p_hat_hist = eval_p_hat(h_pos, h_nrm, h_em)
+
+    # merge_di (rt_utils.slang:244-253), masked by `use`.
+    m = r_m + jnp.where(use, h_m, 0.0)
+    weight = jnp.where(use, p_hat_hist * h_w * h_m, 0.0)
+    w_sum = r_wsum + weight
+    seed, u_m = _rnd(seed)
+    take = use & (u_m < weight / jnp.maximum(w_sum, 1e-4))
+    o_idx = jnp.where(take, h_idx, r_idx)
+    o_pos = [jnp.where(take, h_pos[c], r_pos[c]) for c in range(3)]
+    o_nrm = [jnp.where(take, h_nrm[c], r_nrm[c]) for c in range(3)]
+    o_em = [jnp.where(take, h_em[c], r_em[c]) for c in range(3)]
+
+    # W re-resolve on the merged winner (di_temporal_reuse tail).
+    p_hat_merged = eval_p_hat(o_pos, o_nrm, o_em)
+    w_new = w_sum / jnp.maximum(m * p_hat_merged, 1e-4)
+    o_w = jnp.where(use, w_new, r_w)
+
+    def put(i, plane):
+        out_ref[8 * i: 8 * i + 8, :] = plane
+
+    put(0, o_pos[0])
+    put(1, o_pos[1])
+    put(2, o_pos[2])
+    put(3, o_nrm[0])
+    put(4, o_nrm[1])
+    put(5, o_nrm[2])
+    put(6, w_sum)
+    put(7, m)
+    put(8, jax.lax.bitcast_convert_type(o_idx, jnp.float32))
+    put(9, o_w)
+    z8 = jnp.zeros_like(rough)
+    for i in range(10, 15):
+        put(i, z8)
+    put(15, jax.lax.bitcast_convert_type(seed, jnp.float32))
+
+
+def di_temporal_pallas(seed, r_fields, r_em, h_fields, h_em, ok,
+                       hit_pos, hit_normal, v_view, albedo, roughness,
+                       metallic, virtual_distance, m_clamp, w_clamp):
+    """DI temporal reuse forward. r_fields: audition-result dict
+    (light_pos/light_normal/w_sum/M/light_idx/W); r_em/h_em: (P, 3)
+    emission gathered at the respective (clamped) light indices;
+    h_fields: gathered-history dict incl. hit_normal and depth; ok: the
+    post-gather validity mask. Returns (seed', merged fields dict)."""
+    p = hit_pos.shape[0]
+    np_ = _pad_to(max(p, BLOCK), BLOCK)
+    rows = np_ // SUB
+
+    def plane(x, dtype=jnp.float32):
+        buf = jnp.zeros((np_,), dtype)
+        if dtype == jnp.float32:
+            buf = buf.at[:p].set(x.astype(jnp.float32))
+        else:
+            buf = buf.at[:p].set(x)
+            buf = jax.lax.bitcast_convert_type(buf, jnp.float32)
+        return buf.reshape(SUB, rows)
+
+    attr = jnp.concatenate(
+        [plane(hit_pos[:, 0]), plane(hit_pos[:, 1]), plane(hit_pos[:, 2]),
+         plane(hit_normal[:, 0]), plane(hit_normal[:, 1]),
+         plane(hit_normal[:, 2]),
+         plane(v_view[:, 0]), plane(v_view[:, 1]), plane(v_view[:, 2]),
+         plane(albedo[:, 0]), plane(albedo[:, 1]), plane(albedo[:, 2]),
+         plane(roughness), plane(metallic), plane(virtual_distance),
+         plane(ok.astype(jnp.int32), jnp.int32)],
+        axis=0,
+    )
+    r = jnp.concatenate(
+        [plane(r_fields["light_pos"][:, 0]),
+         plane(r_fields["light_pos"][:, 1]),
+         plane(r_fields["light_pos"][:, 2]),
+         plane(r_fields["light_normal"][:, 0]),
+         plane(r_fields["light_normal"][:, 1]),
+         plane(r_fields["light_normal"][:, 2]),
+         plane(r_fields["w_sum"]), plane(r_fields["M"]),
+         plane(r_fields["light_idx"].astype(jnp.int32), jnp.int32),
+         plane(r_fields["W"]),
+         plane(r_em[:, 0]), plane(r_em[:, 1]), plane(r_em[:, 2])],
+        axis=0,
+    )
+    h = jnp.concatenate(
+        [plane(h_fields["light_pos"][:, 0]),
+         plane(h_fields["light_pos"][:, 1]),
+         plane(h_fields["light_pos"][:, 2]),
+         plane(h_fields["light_normal"][:, 0]),
+         plane(h_fields["light_normal"][:, 1]),
+         plane(h_fields["light_normal"][:, 2]),
+         plane(h_fields["W"]), plane(h_fields["M"]),
+         plane(h_fields["light_idx"].astype(jnp.int32), jnp.int32),
+         plane(h_em[:, 0]), plane(h_em[:, 1]), plane(h_em[:, 2]),
+         plane(h_fields["hit_normal"][:, 0]),
+         plane(h_fields["hit_normal"][:, 1]),
+         plane(h_fields["hit_normal"][:, 2]),
+         plane(h_fields["depth"])],
+        axis=0,
+    )
+    seed_p = jnp.zeros((np_,), jnp.uint32).at[:p].set(seed).reshape(
+        SUB, rows
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_di_temporal_kernel, m_clamp=m_clamp,
+                          w_clamp=w_clamp),
+        grid=(rows // LANES,),
+        in_specs=[
+            pl.BlockSpec((DT_ATTR_PLANES * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((DT_R_PLANES * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((DT_H_PLANES * SUB, LANES), lambda j: (0, j)),
+            pl.BlockSpec((SUB, LANES), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((16 * SUB, rows), jnp.float32),
+        interpret=_interpret(),
+    )(attr, r, h, seed_p)
+
+    def unplane(i, dtype=jnp.float32):
+        flat = out[8 * i: 8 * i + 8, :].reshape(np_)[:p]
+        if dtype != jnp.float32:
+            return jax.lax.bitcast_convert_type(flat, dtype)
+        return flat
+
+    return unplane(15, jnp.uint32), dict(
+        light_pos=jnp.stack([unplane(0), unplane(1), unplane(2)], axis=-1),
+        light_normal=jnp.stack([unplane(3), unplane(4), unplane(5)],
+                               axis=-1),
+        w_sum=unplane(6),
+        M=unplane(7),
+        light_idx=unplane(8, jnp.int32),
+        W=unplane(9),
+    )

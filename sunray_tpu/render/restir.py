@@ -550,6 +550,39 @@ def di_temporal_reuse(lights: Lights, cfg, seed, r: ReservoirDI,
                                               valid=ok)
         if in_band is not None:
             ok = ok & in_band
+    if (jax.default_backend() == "tpu" and not cfg.differentiable
+            and os.environ.get("SUNRAY_TPU_FORCE_JNP_RESTIR", "0") != "1"):
+        # Fused VMEM temporal merge (ops/pallas_restir.di_temporal_pallas):
+        # confidence gates + both GGX p_hat chains + merge + W re-resolve
+        # collapse into registers. The emission lookups for the two
+        # candidate winners ride caller-side gathers (select chains for
+        # small tables), so the kernel has no light-count dependence.
+        from sunray_tpu.ops.pallas_restir import di_temporal_pallas
+
+        idx_cl = jnp.minimum(h.light_idx, lights.num - 1)
+        r_fields = dict(
+            light_pos=r.light_pos, light_normal=r.light_normal,
+            w_sum=r.w_sum, M=r.M, light_idx=r.light_idx, W=r.W,
+        )
+        h_fields = dict(
+            light_pos=h.light_pos, light_normal=h.light_normal,
+            W=h.W, M=h.M, light_idx=idx_cl,
+            hit_normal=h.hit_normal, depth=h.depth,
+        )
+        r_em = gather_vec(
+            lights.emission, jnp.clip(r.light_idx, 0, lights.num - 1)
+        )
+        h_em = gather_vec(lights.emission, idx_cl)
+        seed2, fields = di_temporal_pallas(
+            seed, r_fields, r_em, h_fields, h_em, ok,
+            hit_pos, hit_normal.astype(jnp.float32),
+            v_view.astype(jnp.float32), albedo.astype(jnp.float32),
+            roughness.astype(jnp.float32), metallic.astype(jnp.float32),
+            virtual_distance, cfg.di_temporal_m_clamp,
+            cfg.di_temporal_w_clamp,
+        )
+        return seed2, r.replace(**fields)
+
     h = h.replace(
         M=jnp.minimum(h.M, cfg.di_temporal_m_clamp),
         W=jnp.minimum(h.W, cfg.di_temporal_w_clamp),

@@ -48,7 +48,9 @@ def exec_paths(cfg, num_lights: int, backend: str | None = None) -> dict:
         "differentiable": cfg.differentiable,
         "ris_audition": "pallas-fused" if ris_fused else "jnp",
         "ris_fetch": ris_fetch_mode(num_lights) if ris_fused else "-",
+        "di_temporal": "pallas-fused" if ris_fused else "jnp",
         "di_spatial": "pallas-fused" if di_fused else "jnp",
+        "gi_spatial": "pallas-fused" if di_fused else "jnp",
         "denoise": (
             "pallas-banded" if cfg.denoise_kernel in ("auto", "pallas")
             and tpu and cfg.denoise_passes > 0

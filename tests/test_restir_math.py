@@ -658,3 +658,120 @@ class TestPallasGiSpatialMatches:
         np.testing.assert_allclose(
             np.asarray(outk["contrib_pre"])[same],
             np.asarray(contrib)[same], rtol=2e-3, atol=1e-5)
+
+
+class TestPallasDiTemporalMatches:
+    """ops/pallas_restir.di_temporal_pallas vs the jnp post-gather chain
+    (confidence gates + history p_hat + merge_di + W re-resolve) on
+    synthetic audition results and histories (interpret mode)."""
+
+    def test_matches_jnp_chain(self):
+        from sunray_tpu.ops import rng as rng_mod
+        from sunray_tpu.ops.pallas_restir import di_temporal_pallas
+
+        p = 4096
+        scene = cornell_box()
+        lights = restir.Lights(scene)
+        L = lights.num
+        rng = np.random.default_rng(55)
+
+        pos = jnp.asarray(rng.uniform(0.2, 1.8, (p, 3)), jnp.float32)
+        n = rng.normal(size=(p, 3)); n /= np.linalg.norm(n, axis=1,
+                                                         keepdims=True)
+        v = rng.normal(size=(p, 3)); v /= np.linalg.norm(v, axis=1,
+                                                         keepdims=True)
+        n = jnp.asarray(n, jnp.float32)
+        v = jnp.asarray(v, jnp.float32)
+        alb = jnp.asarray(rng.uniform(0, 1, (p, 3)), jnp.float32)
+        rough = jnp.asarray(rng.uniform(0.05, 1, (p,)), jnp.float32)
+        metal = jnp.asarray(rng.uniform(0, 1, (p,)), jnp.float32)
+        vdist = jnp.asarray(rng.uniform(0.5, 5.0, (p,)), jnp.float32)
+        ok = jnp.asarray(rng.random(p) > 0.25)
+        seed0 = jnp.asarray(rng.integers(0, 2**32, p, dtype=np.uint32))
+
+        def mk_res(seedv, with_hist=False):
+            r2 = np.random.default_rng(seedv)
+            idx = r2.integers(0, L, p).astype(np.int32)
+            lv = np.asarray(lights.v0)
+            res = restir.ReservoirDI.empty(p).replace(
+                light_pos=jnp.asarray(
+                    lv[idx] + r2.normal(0, 0.01, (p, 3)).astype(np.float32)),
+                light_normal=jnp.asarray(np.tile(
+                    np.asarray([0.0, -1.0, 0.0], np.float32), (p, 1))),
+                w_sum=jnp.asarray(r2.uniform(0, 30, p), jnp.float32),
+                M=jnp.asarray(r2.uniform(0, 16, p), jnp.float32),
+                W=jnp.asarray(r2.uniform(0, 25, p), jnp.float32),
+                light_idx=jnp.asarray(idx),
+            )
+            if with_hist:
+                hn = r2.normal(size=(p, 3))
+                hn /= np.linalg.norm(hn, axis=1, keepdims=True)
+                # Half the lanes: history normal close to the surface
+                # normal so the confidence gate passes sometimes.
+                mix = r2.random(p) < 0.5
+                hn = np.where(mix[:, None], np.asarray(n), hn)
+                res = res.replace(
+                    hit_normal=jnp.asarray(hn, jnp.float32),
+                    depth=jnp.asarray(
+                        np.asarray(vdist)
+                        * r2.uniform(0.9, 1.15, p).astype(np.float32)),
+                )
+            return res
+
+        r0 = mk_res(1)
+        h = mk_res(2, with_hist=True)
+        cfg_m, cfg_w = 10.0, 20.0
+
+        idx_cl = jnp.minimum(h.light_idx, L - 1)
+        from sunray_tpu.ops.linalg import gather_vec
+        r_em = gather_vec(lights.emission,
+                          jnp.clip(r0.light_idx, 0, L - 1))
+        h_em = gather_vec(lights.emission, idx_cl)
+        s_k, fields = di_temporal_pallas(
+            seed0,
+            dict(light_pos=r0.light_pos, light_normal=r0.light_normal,
+                 w_sum=r0.w_sum, M=r0.M, light_idx=r0.light_idx, W=r0.W),
+            r_em,
+            dict(light_pos=h.light_pos, light_normal=h.light_normal,
+                 W=h.W, M=h.M, light_idx=idx_cl,
+                 hit_normal=h.hit_normal, depth=h.depth),
+            h_em, ok, pos, n, v, alb, rough, metal, vdist, cfg_m, cfg_w,
+        )
+
+        # jnp reference: the di_temporal_reuse post-gather chain.
+        hh = h.replace(
+            M=jnp.minimum(h.M, cfg_m), W=jnp.minimum(h.W, cfg_w)
+        )
+        ndot = jnp.sum(n * hh.hit_normal, axis=-1)
+        nc = restir.smoothstep(0.9, 0.99, ndot)
+        dd = jnp.abs(vdist - hh.depth) / jnp.maximum(vdist, 1e-4)
+        dc = 1.0 - restir.smoothstep(0.05, 0.20, dd)
+        hh = hh.replace(M=hh.M * (nc * dc))
+        use = ok & (hh.W > 0.0)
+        hh = hh.replace(light_idx=idx_cl)
+        p_hat_hist, _ = lights.eval_p_hat(
+            hh.light_idx, hh.light_pos, hh.light_normal,
+            pos, n, v, alb, rough, metal)
+        seed, u_m = rng_mod.rnd(seed0)
+        rr = restir.merge_di(r0, hh, p_hat_hist, u_m, use)
+        p_hat_merged, _ = lights.eval_p_hat(
+            rr.light_idx, rr.light_pos, rr.light_normal,
+            pos, n, v, alb, rough, metal)
+        w_new = rr.w_sum / jnp.maximum(rr.M * p_hat_merged, 1e-4)
+        rr = rr.replace(W=jnp.where(use, w_new, rr.W))
+
+        np.testing.assert_array_equal(np.asarray(s_k), np.asarray(seed))
+        np.testing.assert_allclose(np.asarray(fields["M"]),
+                                   np.asarray(rr.M), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fields["w_sum"]),
+                                   np.asarray(rr.w_sum), rtol=5e-4,
+                                   atol=1e-5)
+        same = (np.asarray(fields["light_idx"])
+                == np.asarray(rr.light_idx))
+        assert same.mean() > 0.99, same.mean()
+        np.testing.assert_allclose(
+            np.asarray(fields["W"])[same], np.asarray(rr.W)[same],
+            rtol=3e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(fields["light_pos"])[same],
+            np.asarray(rr.light_pos)[same], rtol=1e-5, atol=1e-6)
