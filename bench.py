@@ -43,22 +43,56 @@ from sunray_tpu.scene import cornell_box
 from sunray_tpu.utils.provenance import exec_paths
 
 
-def _device_probe_ok(timeout_s: int = 180) -> bool:
+def _start_outage_watchdog(probe_timeout_s: int = 240,
+                           total_timeout_s: int = 560):
     """The axon tunnel can be down for hours, in which case jax.devices()
-    HANGS (docs in CLAUDE.md). Probe it in a subprocess with a timeout so
-    the bench fails fast with a JSON line instead of hanging the driver."""
-    if jax.config.jax_platforms == "cpu":
-        return True
-    import subprocess
+    or any dispatch HANGS (docs in CLAUDE.md). Guard with an IN-PROCESS
+    watchdog thread: if the tiny probe computation below hasn't completed
+    in `probe_timeout_s` (or the whole bench in `total_timeout_s`), print
+    the skip JSON and hard-exit so the driver never hangs.
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    Measured (round 4, 2026-08-21): probing from a SUBPROCESS — a second
+    tunnel client that connects and exits — reliably wedged the parent's
+    own first dispatch (3/3 wedges with the subprocess probe, 5/5
+    successes for the identical workload without it), so the probe must
+    share the main process's single connection.
+    """
+    if jax.config.jax_platforms == "cpu":
+        return lambda: None
+    import threading
+
+    done = {"probe": False, "bench": False}
+    t0 = time.time()
+
+    def watch():
+        while True:
+            time.sleep(5)
+            dt = time.time() - t0
+            if not done["probe"] and dt > probe_timeout_s:
+                break
+            if not done["bench"] and dt > total_timeout_s:
+                break
+            if done["bench"]:
+                return
+        print(json.dumps({
+            "metric": "rays_per_second",
+            "value": 0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": "TPU tunnel unreachable (dispatch hang at "
+                    f"{time.time() - t0:.0f}s) — see CLAUDE.md "
+                    "axon-outage notes; bench skipped",
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    # Tiny in-process probe on the bench's own connection.
+    jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    done["probe"] = True
+
+    def finished():
+        done["bench"] = True
+    return finished
 
 
 def _grad_bench(small: bool):
@@ -142,18 +176,10 @@ def _grad_bench(small: bool):
 
 def main():
     small = "--small" in sys.argv
-    if not _device_probe_ok():
-        print(json.dumps({
-            "metric": "rays_per_second",
-            "value": 0,
-            "unit": "rays/s",
-            "vs_baseline": 0.0,
-            "note": "TPU tunnel unreachable (jax.devices() hang) — "
-                    "see CLAUDE.md axon-outage notes; bench skipped",
-        }))
-        return
+    finished = _start_outage_watchdog()
     if "--grad" in sys.argv:
         _grad_bench(small)
+        finished()
         return
     w, h = (480, 270) if small else (1920, 1080)
     cfg = RenderConfig(width=w, height=h, lighting="restir")
@@ -212,6 +238,7 @@ def main():
         },
     }
     print(json.dumps(result))
+    finished()
 
 
 if __name__ == "__main__":
