@@ -21,7 +21,12 @@ from sunray_tpu.camera import Camera, camera_matrices
 from sunray_tpu.config import RenderConfig
 from sunray_tpu.render.pipeline import RenderState, render_frame
 from sunray_tpu.scene import cornell_box
-from sunray_tpu.utils.profiling import device_trace, summarize_trace
+from sunray_tpu.utils.profiling import (
+    attribute_rows,
+    device_trace,
+    hlo_source_map,
+    summarize_trace,
+)
 
 
 def parse_kw(argv):
@@ -73,6 +78,19 @@ def main():
     total = sum(r["total_ms"] for r in rows)
     print(f"device total {total:.1f} ms over trace tail "
           f"({total / n:.1f} ms/frame if tail == all {n} frames)")
+
+    # Per-file attribution: join the trace rows with the compiled HLO's
+    # op metadata (the round-3 budget-table workflow, now scripted).
+    try:
+        # Lower from a fresh state: `state` was donated through the loop.
+        hlo = step.lower(RenderState.create(cfg)).compile().as_text() or ""
+        srcmap = hlo_source_map(hlo)
+        print(f"\nper-file attribution ({len(srcmap)} mapped instructions):",
+              flush=True)
+        attribute_rows(
+            summarize_trace(log_dir, top=0, steady_frac=0.8), srcmap)
+    except Exception as e:  # pragma: no cover — backend-dependent
+        print(f"per-file attribution unavailable: {e}")
 
 
 if __name__ == "__main__":

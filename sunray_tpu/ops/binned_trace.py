@@ -377,6 +377,7 @@ def _round_call(kernel, n_out, bids, cids, ents, o_t, d_t, tn, tx, ex,
     zeros = jnp.zeros((1, n_lanes), jnp.float32)
     return pl.pallas_call(
         kernel,
+        name="binned_trace_round",
         grid_spec=grid_spec,
         out_shape=out_shape,
         # Zeros plane aliased to the `touched` output: ray blocks that get

@@ -90,6 +90,7 @@ def _onehot_gather_fwd_impl(tab_t, idx):
     idx_p = jnp.zeros((1, np_), jnp.int32).at[0, :n].set(idx)
     out = pl.pallas_call(
         functools.partial(_kernel, k_real=k),
+        name="onehot_gather",
         grid=(np_ // block,),
         in_specs=[
             pl.BlockSpec((1, block), lambda j: (0, j)),

@@ -221,6 +221,7 @@ def _atrous_pass_pallas(cpad, gpad, step, geom, h, w):
     out = pl.pallas_call(
         functools.partial(_atrous_kernel, step=step, halo=halo, h=h, w=w,
                           block=block, cw=cw),
+        name="atrous_banded",
         grid=(grid_r, grid_c),
         in_specs=specs(3) + specs(8),
         out_specs=pl.BlockSpec((3, block, cw), lambda i, j: (0, i, j),
@@ -360,6 +361,7 @@ def _taa_forward(raw, hist, use_f32, factor):
     mc = cw // wr
     out = pl.pallas_call(
         functools.partial(_taa_kernel, block=block, cw=cw, factor=factor),
+        name="taa_clamp_blend",
         grid=(grid_r, grid_c),
         in_specs=[
             pl.BlockSpec((6, block, cw), lambda i, j: (0, i, j),

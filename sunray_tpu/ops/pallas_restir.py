@@ -375,6 +375,7 @@ def ris_audition_pallas(light_v0, light_v1, light_v2, light_em, seed,
     out = pl.pallas_call(
         functools.partial(_kernel, k=candidates, num_lights=l,
                           fetch=fetch, tiled=tiled, tab_rows=tab_rows),
+        name="ris_audition",
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
@@ -633,6 +634,7 @@ def di_spatial_pallas(seed, center, taps, pending,
             w_clamp=w_clamp, m_clamp=m_clamp,
             w_spatial_clamp=w_spatial_clamp,
         ),
+        name="di_spatial_merge",
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((16 * SUB, LANES), lambda j: (0, j)),
@@ -854,6 +856,7 @@ def gi_spatial_pallas(seed, center, taps, pending, hit_pos, hit_normal,
 
     out = pl.pallas_call(
         functools.partial(_gi_spatial_kernel, t_n=t_n, w_clamp=w_clamp),
+        name="gi_spatial_merge",
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((GI_ATTR_PLANES * SUB, LANES), lambda j: (0, j)),
@@ -1105,6 +1108,7 @@ def di_temporal_pallas(seed, r_fields, r_em, h_fields, h_em, ok,
     out = pl.pallas_call(
         functools.partial(_di_temporal_kernel, m_clamp=m_clamp,
                           w_clamp=w_clamp),
+        name="di_temporal_merge",
         grid=(rows // LANES,),
         in_specs=[
             pl.BlockSpec((DT_ATTR_PLANES * SUB, LANES), lambda j: (0, j)),

@@ -198,6 +198,7 @@ def trace_closest_pallas(tris, orig, d, tmin=intersect.T_MIN,
     kernel = functools.partial(_closest_kernel, n_tris=n_tris)
     t_o, tri_o, u_o, v_o = pl.pallas_call(
         kernel,
+        name="trace_closest",
         grid=(nb, tiles),
         in_specs=[ray_spec, ray_spec, tri_spec, tri_spec, tri_spec,
                   scal_spec, scal_spec],
@@ -248,6 +249,7 @@ def trace_occluded_pallas(tris, orig, d, tmax, tmin=intersect.T_MIN,
     )
     occ = pl.pallas_call(
         kernel,
+        name="trace_occluded",
         grid=(nb, tiles),
         in_specs=[ray_spec, ray_spec, tri_spec, tri_spec, tri_spec,
                   scal_spec, scal_spec, scal_spec],

@@ -15,6 +15,7 @@ Pass order matches build_unified_graph (src/lib.rs:1347-1619):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -67,17 +68,19 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     tracer = make_tracer(scene, cfg, accel)
     lights = restir.Lights(scene) if scene.num_lights > 0 else None
 
-    gbuf, r_di, r_gi, _hit, ris_rounds = ris_pass(
-        scene, cfg, tracer, lights, mats, state.prev_view_proj,
-        state.res_di, state.res_gi, frame_count,
-    )
+    with jax.named_scope("ris_pass"):
+        gbuf, r_di, r_gi, _hit, ris_rounds = ris_pass(
+            scene, cfg, tracer, lights, mats, state.prev_view_proj,
+            state.res_di, state.res_gi, frame_count,
+        )
     # cfg.samples > 1: average `samples` independently-seeded final passes
     # (in-frame spp — the reference is fixed 1 spp, ray_gen_final.slang:40).
     first_hit = (_hit.first_tri, _hit.first_t)
-    raw, final_rounds = final_pass(
-        scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
-        first_hit=first_hit,
-    )
+    with jax.named_scope("final_pass"):
+        raw, final_rounds = final_pass(
+            scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
+            first_hit=first_hit,
+        )
     for s in range(1, cfg.samples):
         raw_s, rounds_s = final_pass(
             scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi, frame_count,
@@ -99,6 +102,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     motion_img = gbuf.motion.reshape(h, w, 2)
 
     if cfg.enable_taa:
+      with jax.named_scope("taa"):
         accum = temporal_accumulate(
             raw_img, motion_img, state.accum, frame_count,
             cfg.accumulation_factor,
@@ -119,6 +123,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
         accum = raw_img
 
     if cfg.denoise_passes > 0:
+      with jax.named_scope("denoise"):
         den = atrous_denoise(
             accum,
             gbuf.depth.reshape(h, w),
@@ -131,7 +136,8 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
     else:
         den = accum
 
-    ldr = tonemap(den, cfg.exposure, cfg.tonemap, cfg.gamma)
+    with jax.named_scope("postprocess"):
+        ldr = tonemap(den, cfg.exposure, cfg.tonemap, cfg.gamma)
 
     new_state = RenderState(
         accum=accum,

@@ -106,6 +106,13 @@ def summarize_trace(log_dir: str, top: int = 25, steady_frac: float = 0.5):
         if e["ts"] < cut:
             continue
         name = e["name"]
+        # Runtime/host envelope events (CPU thunk executor, python frames,
+        # trace bookkeeping) aren't device ops — skip so per-op tables and
+        # the per-file attribution don't double-count the frame.
+        if "::" in name or name.startswith("$"):
+            continue
+        if name.startswith("end: "):  # DMA-completion markers
+            name = name[5:]
         tot, cnt = agg.get(name, (0.0, 0))
         agg[name] = (tot + e["dur"], cnt + 1)
     total = sum(t for t, _ in agg.values())
@@ -119,6 +126,65 @@ def summarize_trace(log_dir: str, top: int = 25, steady_frac: float = 0.5):
         print(f"{r['total_ms']:9.2f} ms {r['pct']:5.1f}% x{r['count']:<5d} "
               f"{r['name'][:110]}")
     return rows
+
+
+def hlo_source_map(hlo_text: str) -> dict:
+    """Parse optimized-HLO text into {instruction_name: source_file}.
+
+    Compiled HLO instructions carry `metadata={op_name=... source_file=...
+    source_line=N}`; the device trace's complete-event names are the HLO
+    instruction names, so this map joins profiler rows back to repo files
+    (the docs/PERFORMANCE.md round-3 per-file budget workflow, made
+    repeatable). Fusions attribute to their representative op's source —
+    imperfect but stable round over round.
+    """
+    import re
+
+    out = {}
+    pat = re.compile(
+        r"%?([\w\-.]+)\s*=.*?source_file=\"([^\"]+)\"")
+    # Newer XLA emits stack_frame_id instead of inline source_file; the
+    # op_name path still carries the render_frame stage named_scopes
+    # (pipeline.py: ris_pass/final_pass/taa/denoise/postprocess), so fall
+    # back to mapping each instruction to its stage scope.
+    pat_op = re.compile(r"%?([\w\-.]+)\s*=.*?op_name=\"([^\"]+)\"")
+    stage_pat = re.compile(
+        r"\b(ris_pass|final_pass|taa|denoise|postprocess)\b")
+    for line in hlo_text.splitlines():
+        m = pat.search(line)
+        if m:
+            out[m.group(1)] = m.group(2)
+            continue
+        m = pat_op.search(line)
+        if m:
+            s = stage_pat.search(m.group(2))
+            out[m.group(1)] = f"stage:{s.group(1)}" if s else "<no-stage>"
+    return out
+
+
+def attribute_rows(rows, srcmap: dict, repo_root: str = "/root/repo"):
+    """Aggregate summarize_trace() rows by source file via hlo_source_map.
+    Returns [{"file", "total_ms", "pct"}] sorted desc; prints the table."""
+    agg: dict = {}
+    total = sum(r["total_ms"] for r in rows) or 1.0
+    for r in rows:
+        src = srcmap.get(r["name"])
+        if src is None:
+            # Trace names sometimes carry a suffix/prefix the HLO lacks;
+            # retry with the trailing ".N" stripped.
+            base = r["name"].rsplit(".", 1)[0]
+            cands = [v for k, v in srcmap.items()
+                     if k == base or k.startswith(r["name"])]
+            src = cands[0] if cands else "<unmapped>"
+        if src.startswith(repo_root):
+            src = src[len(repo_root) + 1:]
+        agg[src] = agg.get(src, 0.0) + r["total_ms"]
+    out = [{"file": f, "total_ms": t, "pct": 100.0 * t / total}
+           for f, t in agg.items()]
+    out.sort(key=lambda r: -r["total_ms"])
+    for r in out:
+        print(f"{r['total_ms']:9.2f} ms {r['pct']:5.1f}%  {r['file']}")
+    return out
 
 
 def stage_timings(scene, cfg, state, mats, accel=None, repeats: int = 3):
