@@ -179,6 +179,31 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         rx = jnp.abs(dx).astype(jnp.float32)
     fits = ((ry <= radius) & (rx <= radius)).astype(jnp.float32)
     retention = jnp.sum(fits * wts) / den
+    if global_motion:
+        # Zero-residual fast path: a static or PURELY uniform-motion frame
+        # (every valid lane's offset equals the rounded mean offset) needs
+        # no neighborhood at all — one global roll of the table replaces
+        # the (2r+1)^2 select-chain, cutting ~9 full-table read passes per
+        # history read to ~1 (device profile: the three history conds were
+        # 2.7 ms each at 1080p static-camera; ops/banded.py round-4).
+        # Residual-nonzero lanes simply lose one frame of history (ok
+        # False), identical semantics to the shift path's rejection.
+        fits0 = ((ry == 0) & (rx == 0)).astype(jnp.float32)
+        retention0 = jnp.sum(fits0 * wts) / den
+        return jax.lax.cond(
+            retention0 >= min_retention,
+            lambda: shift_row_gather(table, idx, width, 0, 0,
+                                     force=True, global_motion=True,
+                                     valid=valid),
+            lambda: jax.lax.cond(
+                retention >= min_retention,
+                lambda: shift_row_gather(table, idx, width, radius, radius,
+                                         force=True, global_motion=True,
+                                         valid=valid),
+                lambda: banded_row_gather(table, idx, width, band, halo,
+                                          force=True, layout="rows"),
+            ),
+        )
     return jax.lax.cond(
         retention >= min_retention,
         lambda: shift_row_gather(table, idx, width, radius, radius,

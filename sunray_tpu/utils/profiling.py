@@ -111,6 +111,11 @@ def summarize_trace(log_dir: str, top: int = 25, steady_frac: float = 0.5):
         # the per-file attribution don't double-count the frame.
         if "::" in name or name.startswith("$"):
             continue
+        # Whole-program envelope events (e.g. "jit__lambda(169...)" on TPU
+        # lanes) span every op of the frame — counting them doubles the
+        # table and drowns per-op attribution.
+        if name.startswith("jit") and "(" in name:
+            continue
         if name.startswith("end: "):  # DMA-completion markers
             name = name[5:]
         tot, cnt = agg.get(name, (0.0, 0))

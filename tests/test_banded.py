@@ -305,3 +305,37 @@ def test_auto_gather_jits_with_cond():
     np.testing.assert_allclose(
         np.asarray(rows)[served], np.asarray(table[idx_big])[served]
     )
+
+
+def test_auto_gather_zero_residual_fast_branch_exact():
+    """Static and uniformly-panning frames must take the zero-radius fast
+    branch (one global roll, no neighborhood selects) and stay exact;
+    semantics identical to the radius-1 shift path on these inputs."""
+    rng = np.random.default_rng(11)
+    h, w, c = 24, 16, 5
+    from sunray_tpu.ops.banded import auto_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    # Static camera: idx == identity.
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    rows, ok = auto_row_gather(table, idx, w, band=4, halo=6, radius=1,
+                               force=True, global_motion=True)
+    np.testing.assert_array_equal(np.asarray(ok), True)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table))
+
+    # Uniform pan by (dy, dx) = (2, 1): every interior lane shares the
+    # offset, so the rounded-mean roll serves all of them exactly.
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    src_y = np.clip(dst_y + 2, 0, h - 1)
+    src_x = np.clip(dst_x + 1, 0, w - 1)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+    interior = (dst_y + 2 <= h - 1) & (dst_x + 1 <= w - 1)
+    rows, ok = auto_row_gather(table, idx, w, band=4, halo=6, radius=1,
+                               min_retention=0.7, force=True,
+                               global_motion=True)
+    served = np.asarray(ok)
+    assert served[interior].all()
+    np.testing.assert_allclose(
+        np.asarray(rows)[served], np.asarray(table[idx])[served]
+    )
