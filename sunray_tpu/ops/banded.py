@@ -190,18 +190,35 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         # False), identical semantics to the shift path's rejection.
         fits0 = ((ry == 0) & (rx == 0)).astype(jnp.float32)
         retention0 = jnp.sum(fits0 * wts) / den
+        # Jitter window: TAA-style jittered reprojection (floor of
+        # uv*W + j - 0.5) lands residuals in {-1, 0} per axis — 4 taps
+        # instead of 9. dyr/dxr are the SIGNED residuals (ry/rx above are
+        # absolute values, useless for an asymmetric box).
+        dyr = dy.astype(jnp.float32) - (gy if global_motion else 0.0)
+        dxr = dx.astype(jnp.float32) - (gx if global_motion else 0.0)
+        fits4 = ((dyr >= -1) & (dyr <= 0) & (dxr >= -1)
+                 & (dxr <= 0)).astype(jnp.float32)
+        retention4 = jnp.sum(fits4 * wts) / den
         return jax.lax.cond(
             retention0 >= min_retention,
             lambda: shift_row_gather(table, idx, width, 0, 0,
                                      force=True, global_motion=True,
                                      valid=valid),
             lambda: jax.lax.cond(
-                retention >= min_retention,
-                lambda: shift_row_gather(table, idx, width, radius, radius,
+                retention4 >= min_retention,
+                lambda: shift_row_gather(table, idx, width, 1, 1,
                                          force=True, global_motion=True,
-                                         valid=valid),
-                lambda: banded_row_gather(table, idx, width, band, halo,
-                                          force=True, layout="rows"),
+                                         valid=valid,
+                                         window=(-1, 0, -1, 0)),
+                lambda: jax.lax.cond(
+                    retention >= min_retention,
+                    lambda: shift_row_gather(
+                        table, idx, width, radius, radius,
+                        force=True, global_motion=True, valid=valid),
+                    lambda: banded_row_gather(
+                        table, idx, width, band, halo,
+                        force=True, layout="rows"),
+                ),
             ),
         )
     return jax.lax.cond(
@@ -215,7 +232,7 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
 
 
 def shift_row_gather(table, idx, width, radius_y, radius_x, force=None,
-                     global_motion=True, valid=None):
+                     global_motion=True, valid=None, window=None):
     """Row gather restricted to a (2ry+1) x (2rx+1) screen-space
     neighborhood of the destination pixel, with NO dynamic gather at all:
     one compare+select per neighborhood offset over a flat-rolled view of
@@ -284,24 +301,36 @@ def shift_row_gather(table, idx, width, radius_y, radius_x, force=None,
         dx = dx - gx
     else:
         base = bits
-    ok = (jnp.abs(dy) <= radius_y) & (jnp.abs(dx) <= radius_x)
-    nx = 2 * radius_x + 1
-    key = jnp.where(ok, (dy + radius_y) * nx + (dx + radius_x), -1)
-    # One wrap-padded extension + (2ry+1)(2rx+1) STATIC slices of it.
+    # `window` generalizes the symmetric radius to an ASYMMETRIC offset box
+    # (ry_lo, ry_hi, rx_lo, rx_hi): TAA-style jittered reprojection on a
+    # static/panning camera lands offsets in {-1, 0} per axis (floor of
+    # uv*W + jitter - 0.5), so a 4-tap [-1,0]x[-1,0] window halves the
+    # select-chain table passes vs the 9-tap radius-1 box.
+    if window is None:
+        window = (-radius_y, radius_y, -radius_x, radius_x)
+    ry_lo, ry_hi, rx_lo, rx_hi = window
+    ok = (dy >= ry_lo) & (dy <= ry_hi) & (dx >= rx_lo) & (dx <= rx_hi)
+    nx = rx_hi - rx_lo + 1
+    key = jnp.where(ok, (dy - ry_lo) * nx + (dx - rx_lo), -1)
+    # One wrap-padded extension + one STATIC slice per window offset.
     # jnp.roll materializes a full-table HBM copy per offset (measured:
     # nine ~1.8 ms copies per call at 1080p in the device profile); a
     # static slice of the shared extension is a zero-copy view that XLA
     # fuses straight into the select chain, so the whole neighborhood
     # costs ONE extra table copy (the extension) regardless of radius.
-    # ext[j] = base[(j - pad) mod p]  =>  roll(base, -s)[i] = ext[i+pad+s].
-    pad = radius_y * width + radius_x
-    ext = jnp.concatenate([base[p - pad:], base, base[:pad]], axis=0)
+    # ext[j] = base[(j - pad_lo) mod p] => roll(base, -s)[i] = ext[i+pad_lo+s].
+    pad_lo = max(-(ry_lo * width + rx_lo), 0)
+    pad_hi = max(ry_hi * width + rx_hi, 0)
+    ext = jnp.concatenate([base[p - pad_lo:] if pad_lo else base[:0],
+                           base,
+                           base[:pad_hi]], axis=0)
     out = jnp.zeros_like(base)
     k = 0
-    for sy in range(-radius_y, radius_y + 1):
-        for sx in range(-radius_x, radius_x + 1):
+    for sy in range(ry_lo, ry_hi + 1):
+        for sx in range(rx_lo, rx_hi + 1):
             s = sy * width + sx
-            rolled = jax.lax.slice_in_dim(ext, pad + s, pad + s + p, axis=0)
+            rolled = jax.lax.slice_in_dim(
+                ext, pad_lo + s, pad_lo + s + p, axis=0)
             out = jnp.where((key == k)[:, None], rolled, out)
             k += 1
     if is_float:

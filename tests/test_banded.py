@@ -339,3 +339,27 @@ def test_auto_gather_zero_residual_fast_branch_exact():
     np.testing.assert_allclose(
         np.asarray(rows)[served], np.asarray(table[idx])[served]
     )
+
+
+def test_auto_gather_jitter_window_branch_exact():
+    """TAA-style jittered static reprojection (offsets in {-1,0} per axis)
+    must be served exactly — the 4-tap [-1,0]x[-1,0] window branch covers
+    every lane, so ok must be True wherever the source is in range."""
+    rng = np.random.default_rng(12)
+    h, w, c = 24, 16, 6
+    from sunray_tpu.ops.banded import auto_row_gather
+
+    table = jnp.asarray(rng.normal(size=(h * w, c)).astype(np.float32))
+    dst_y = np.arange(h * w) // w
+    dst_x = np.arange(h * w) % w
+    # floor(x + j - 0.5), j ~ U[0,1): offset -1 or 0 per axis per lane.
+    dy = rng.integers(-1, 1, size=h * w)
+    dx = rng.integers(-1, 1, size=h * w)
+    src_y = np.clip(dst_y + dy, 0, h - 1)
+    src_x = np.clip(dst_x + dx, 0, w - 1)
+    idx = jnp.asarray((src_y * w + src_x).astype(np.int32))
+
+    rows, ok = auto_row_gather(table, idx, w, band=4, halo=6, radius=1,
+                               force=True, global_motion=True)
+    np.testing.assert_array_equal(np.asarray(ok), True)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(table[idx]))
