@@ -60,4 +60,13 @@ def exec_paths(cfg, num_lights: int, backend: str | None = None) -> dict:
             "pallas" if cfg.taa_kernel == "pallas" and tpu and cfg.enable_taa
             else ("jnp" if cfg.enable_taa else "off")
         ),
+        # History-read strategy: "auto" is the 4-level runtime ladder
+        # (zero-residual roll -> 4-tap jitter window -> radius-1 shift ->
+        # banded; ops/banded.auto_row_gather), selected per frame on
+        # measured retention scalars.
+        "history": (
+            f"{cfg.history_gather_mode}-ladder"
+            if tpu and cfg.history_gather_mode == "auto"
+            else cfg.history_gather_mode
+        ),
     }
