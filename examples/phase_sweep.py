@@ -68,16 +68,32 @@ def main():
         ("no_taa", base.replace(enable_taa=False)),
         ("nee_only", base.replace(lighting="nee")),
     ]
+    # Tunnel weather drifts on a ~10-minute scale (measured: the same
+    # base config gave 101 vs 154 ms an hour apart), so each knockout is
+    # bracketed by fresh base measurements and its delta is taken against
+    # the MEAN of the adjacent base runs — sequential-sweep deltas were
+    # unusable in degraded windows (negative knockouts).
     out = {}
-    base_ms = None
+    base_cfg = dict(cases)["base"]
+    base_ms, _ = measure(scene, base_cfg, mats, args.frames)
+    out["base"] = round(base_ms, 2)
+    print(f"{'base':14s} {base_ms:7.2f} ms", flush=True)
+    prev_base = base_ms
+    base_samples = [base_ms]
     for name, cfg in cases:
-        ms, warm = measure(scene, cfg, mats, args.frames)
-        out[name] = round(ms, 2)
         if name == "base":
-            base_ms = ms
-        delta = "" if name == "base" else f"  delta={base_ms - ms:+.1f}"
-        print(f"{name:14s} {ms:7.2f} ms (warm {warm:.1f} s){delta}",
-              flush=True)
+            continue
+        ms, warm = measure(scene, cfg, mats, args.frames)
+        next_base, _ = measure(scene, base_cfg, mats, args.frames)
+        base_samples.append(next_base)
+        local_base = 0.5 * (prev_base + next_base)
+        out[name] = round(ms, 2)
+        out[f"{name}_delta"] = round(local_base - ms, 2)
+        print(f"{name:14s} {ms:7.2f} ms (warm {warm:.1f} s)"
+              f"  delta={local_base - ms:+.1f}"
+              f"  [base {prev_base:.1f}->{next_base:.1f}]", flush=True)
+        prev_base = next_base
+    out["base_drift"] = [round(b, 1) for b in base_samples]
     print(json.dumps(out))
 
 
