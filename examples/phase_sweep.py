@@ -27,10 +27,11 @@ from sunray_tpu.render.pipeline import RenderState, render_frame
 from sunray_tpu.scene import cornell_box
 
 
-def measure(scene, cfg, mats, frames):
+def measure(scene, cfg, mats, frames, step=None):
     state = RenderState.create(cfg)
-    step = jax.jit(lambda st: render_frame(scene, cfg, st, mats),
-                   donate_argnums=(0,))
+    if step is None:
+        step = jax.jit(lambda st: render_frame(scene, cfg, st, mats),
+                       donate_argnums=(0,))
     t0 = time.time()
     for _ in range(4):
         state, ldr, _ = step(state)
@@ -75,7 +76,12 @@ def main():
     # unusable in degraded windows (negative knockouts).
     out = {}
     base_cfg = dict(cases)["base"]
-    base_ms, _ = measure(scene, base_cfg, mats, args.frames)
+    # One compiled base program reused for every bracket (a fresh lambda
+    # per call would recompile ~60 s each through the tunnel).
+    base_step = jax.jit(
+        lambda st: render_frame(scene, base_cfg, st, mats),
+        donate_argnums=(0,))
+    base_ms, _ = measure(scene, base_cfg, mats, args.frames, step=base_step)
     out["base"] = round(base_ms, 2)
     print(f"{'base':14s} {base_ms:7.2f} ms", flush=True)
     prev_base = base_ms
@@ -84,7 +90,8 @@ def main():
         if name == "base":
             continue
         ms, warm = measure(scene, cfg, mats, args.frames)
-        next_base, _ = measure(scene, base_cfg, mats, args.frames)
+        next_base, _ = measure(scene, base_cfg, mats, args.frames,
+                               step=base_step)
         base_samples.append(next_base)
         local_base = 0.5 * (prev_base + next_base)
         out[name] = round(ms, 2)
