@@ -119,6 +119,96 @@ def _onehot_gather_bwd(res, ct):
 _onehot_gather.defvjp(_onehot_gather_fwd, _onehot_gather_bwd)
 
 
+def _kernel_multi(idx_ref, tab_ref, out_ref, *, k_real, g, cp):
+    kp = tab_ref.shape[1]
+    b = idx_ref.shape[1]
+    for i in range(g):
+        idx = jnp.clip(idx_ref[i, :], 0, k_real - 1)        # (B,)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (kp, b), 0) == idx[None, :]
+        ).astype(jnp.float32)
+        out_ref[i * cp:(i + 1) * cp, :] = jax.lax.dot_general(
+            tab_ref[...], onehot,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _onehot_gather_multi(tab_t, idx):
+    """tab_t: (C, K) f32. idx: (G, N) int32 — G index vectors into the SAME
+    table, one kernel launch (the table rides VMEM once instead of G
+    times; shade's 3 triangle-corner gathers are the canonical caller).
+    Returns (G, C, N) f32."""
+    return _onehot_gather_multi_fwd_impl(tab_t, idx)
+
+
+def _onehot_gather_multi_fwd_impl(tab_t, idx):
+    c, k = tab_t.shape
+    g, n = idx.shape
+    cp = _pad_to(c, 8)
+    kp = _pad_to(k, 128)
+    # Smaller blocks than the single-index kernel: the per-corner one-hots
+    # are live together inside one grid step (G x (Kp, B) f32 in VMEM).
+    block = (BLOCK // 2) if kp <= 256 else BLOCK // 8
+    np_ = _pad_to(max(n, block), block)
+    tab_p = jnp.zeros((cp, kp), jnp.float32).at[:c, :k].set(tab_t)
+    idx_p = jnp.zeros((g, np_), jnp.int32).at[:, :n].set(idx)
+    out = pl.pallas_call(
+        functools.partial(_kernel_multi, k_real=k, g=g, cp=cp),
+        name="onehot_gather_multi",
+        grid=(np_ // block,),
+        in_specs=[
+            pl.BlockSpec((g, block), lambda j: (0, j)),
+            pl.BlockSpec((cp, kp), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g * cp, block), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((g * cp, np_), jnp.float32),
+        interpret=_interpret(),
+    )(idx_p, tab_p)
+    return out.reshape(g, cp, np_)[:, :c, :n]
+
+
+def _onehot_gather_multi_fwd(tab_t, idx):
+    out = _onehot_gather_multi_fwd_impl(tab_t, idx)
+    return out, (idx, tab_t.shape[1])
+
+
+def _onehot_gather_multi_bwd(res, ct):
+    idx, k = res
+    g = idx.shape[0]
+    cidx = jnp.clip(idx, 0, k - 1)
+    dtab = sum(
+        jax.ops.segment_sum(ct[i].T, cidx[i], num_segments=k).T
+        for i in range(g)
+    )                                                         # (C, K)
+    return dtab, None
+
+
+_onehot_gather_multi.defvjp(_onehot_gather_multi_fwd,
+                            _onehot_gather_multi_bwd)
+
+
+def onehot_gather_cols_multi(table, idx_list):
+    """Gather rows of one small (K, C...) table by G index vectors in a
+    single kernel launch. Returns a list of G tuples of C (N,) columns
+    (same contract as onehot_gather_cols per index)."""
+    flat = table.reshape(table.shape[0], -1)
+    k, c = flat.shape
+    orig_dtype = flat.dtype
+    idx = jnp.stack([i.reshape(-1).astype(jnp.int32) for i in idx_list])
+    out = _onehot_gather_multi(flat.T.astype(jnp.float32), idx)  # (G, C, N)
+    res = []
+    for gi in range(len(idx_list)):
+        if orig_dtype != jnp.float32:
+            res.append(tuple(out[gi, cc].astype(orig_dtype)
+                             for cc in range(c)))
+        else:
+            res.append(tuple(out[gi, cc] for cc in range(c)))
+    return res
+
+
 def onehot_gather_cols(table, idx):
     """Gather rows of a small (K, C...) table by (N,) int index on the MXU,
     returning a tuple of C (N,)-shaped f32 columns (gather_cols contract:

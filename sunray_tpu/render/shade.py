@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sunray_tpu.ops.linalg import (
@@ -125,11 +126,31 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
         # a single fused gather would haul all 20 columns regardless.
         vgeo = vpack[:, :10]
         vuv = vpack[:, 10:]
-        corners = [
-            gather_cols(vgeo, vidx_k[k], mode=SMALL_GATHER_MODE)
-            + gather_cols(vuv, vidx_k[k], mode=SMALL_GATHER_MODE)
-            for k in range(3)
-        ]
+        from sunray_tpu.ops.pallas_gather import (
+            MAX_ROWS,
+            MIN_ROWS,
+            onehot_gather_cols_multi,
+        )
+
+        use_multi = (
+            SMALL_GATHER_MODE == "onehot"
+            and jax.default_backend() == "tpu"
+            and MIN_ROWS <= nverts <= MAX_ROWS
+        )
+        if use_multi:
+            # The 3 corner fetches hit the SAME table — one kernel launch
+            # per column group (table DMA'd to VMEM once, 3 one-hot MXU
+            # passes inside) instead of 3 (round-4 named-kernel profile:
+            # 12 onehot launches x ~0.65 ms; this folds 9 -> 3-ish).
+            geo3 = onehot_gather_cols_multi(vgeo, list(vidx_k))
+            uv3 = onehot_gather_cols_multi(vuv, list(vidx_k))
+            corners = [geo3[k] + uv3[k] for k in range(3)]
+        else:
+            corners = [
+                gather_cols(vgeo, vidx_k[k], mode=SMALL_GATHER_MODE)
+                + gather_cols(vuv, vidx_k[k], mode=SMALL_GATHER_MODE)
+                for k in range(3)
+            ]
     else:
         corners = [
             tuple(r[:, c] for c in range(ncols))

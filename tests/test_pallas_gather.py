@@ -100,3 +100,37 @@ def test_gather_cols_dispatch_unchanged_on_cpu():
     want = _ref(table, idx)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_multi_index_matches_single():
+    """One launch with G index vectors must equal G single-index gathers,
+    forward and backward (shade's 3-corner fetch contract)."""
+    from sunray_tpu.ops.pallas_gather import (
+        onehot_gather_cols,
+        onehot_gather_cols_multi,
+    )
+
+    rng = np.random.default_rng(6)
+    table = jnp.asarray(rng.standard_normal((33, 10)), jnp.float32)
+    idxs = [jnp.asarray(rng.integers(0, 33, size=500), jnp.int32)
+            for _ in range(3)]
+    multi = onehot_gather_cols_multi(table, idxs)
+    for g in range(3):
+        single = onehot_gather_cols(table, idxs[g])
+        for cm, cs in zip(multi[g], single):
+            np.testing.assert_array_equal(np.asarray(cm), np.asarray(cs))
+
+    def loss_multi(tab):
+        outs = onehot_gather_cols_multi(tab, idxs)
+        return sum(jnp.sum(jnp.sin(c)) for g in outs for c in g)
+
+    def loss_single(tab):
+        return sum(
+            jnp.sum(jnp.sin(c))
+            for i in idxs for c in onehot_gather_cols(tab, i)
+        )
+
+    gm = jax.grad(loss_multi)(table)
+    gs = jax.grad(loss_single)(table)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gs),
+                               rtol=1e-6, atol=1e-6)
