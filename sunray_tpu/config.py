@@ -224,6 +224,17 @@ class RenderConfig:
     # history-gather fixed cost in the frame program.
     history_joint_gather: bool = False
 
+    # Face-forward normals (OPT-IN divergence from the reference):
+    # closest_hit.slang:49-50 stores the interpolated normal UNFLIPPED, so
+    # single-sided surfaces seen from their backface offset shadow rays
+    # INTO the geometry and leak light as firefly speckle (docs/PARITY.md
+    # "Observed artifact"). When True, shading and geometric normals are
+    # flipped to face the incoming ray (sign of geo_normal . ray_dir),
+    # suppressing that leak class for every backface pixel. Default False =
+    # exact reference behavior (parity goldens unchanged). A/B pair:
+    # docs/renders/face_forward_{off,on}.png.
+    face_forward_normals: bool = False
+
     # Any-hit alpha cutout (any_hit.slang): jit-static because the scene is
     # traced inside the frame; the Renderer auto-sets it from the concrete
     # scene (scenes without MASK materials keep the tight opaque-only path,

@@ -141,7 +141,8 @@ def primary_walk(scene, cfg, tracer, origins, dirs, seed):
                 v=jnp.zeros_like(t0),
                 hit=hm,
             )
-        surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
+        surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit,
+                          face_forward=cfg.face_forward_normals)
         live = c["active"] & surf.valid
         miss = c["active"] & ~surf.valid
 
@@ -329,7 +330,8 @@ def ris_pass(scene, cfg, tracer, lights, mats, prev_view_proj,
 
     gi_origin = walk["pos"] + walk["normal"] * 1e-3
     gi_hit = trace_closest(tracer, gi_origin, gi_dir, coherent=False)
-    gi_surf = shade_hits(scene, gi_origin, gi_dir, gi_hit)
+    gi_surf = shade_hits(scene, gi_origin, gi_dir, gi_hit,
+                         face_forward=cfg.face_forward_normals)
     gi_found = gi_enable & gi_surf.valid & (gi_surf.dist > 0.0)
 
     sample_pos = jnp.where(gi_found[:, None], gi_surf.pos, 0.0)

@@ -179,7 +179,8 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
         else:
             hit = trace_closest(tracer, c["ray_o"], c["ray_d"],
                                 coherent=coherent)
-        surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit)
+        surf = shade_hits(scene, c["ray_o"], c["ray_d"], hit,
+                          face_forward=cfg.face_forward_normals)
         live = c["active"] & surf.valid
         roughness = jnp.maximum(surf.roughness, 0.01)
         metallic = jnp.clip(surf.metallic, 0.0, 1.0)

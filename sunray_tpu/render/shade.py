@@ -76,11 +76,18 @@ def _recompute_hit(orig, d, w0, w1, w2):
     return t, u, v
 
 
-def shade_hits(scene, orig, d, hit, differentiable_t=True):
+def shade_hits(scene, orig, d, hit, differentiable_t=True,
+               face_forward=False):
     """Compute the Surface for a batch of hits.
 
     scene: SceneBuffers; orig/d: (N, 3); hit: intersect.Hit.
     Misses produce valid=False with dist=-1 (ray_miss.slang:9-13 sentinel).
+
+    face_forward: opt-in divergence (cfg.face_forward_normals) — flip the
+    shading AND geometric normal to face the incoming ray when the
+    geometric normal points away from it. The reference stores the
+    unflipped normal (closest_hit.slang:49-50), which leaks backface
+    fireflies (docs/PARITY.md); default False keeps exact parity.
     """
     tri = jnp.where(hit.hit, hit.tri, 0)
     # Per-triangle indices ride one packed row gather (vidx + instance id)
@@ -307,6 +314,16 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True):
 
     dist = jnp.where(hit.hit, t_att, -1.0)
     pos = orig + d * dist[:, None]
+
+    if face_forward:
+        # Flip AFTER normal mapping so the TBN frame matches the stored
+        # (unflipped) tangent basis; the sign comes from the GEOMETRIC
+        # normal so the shading normal can't disagree with the surface
+        # side it shades.
+        back = (jnp.sum(world_normal * d, axis=-1) > 0.0) & hit.hit
+        sgn = jnp.where(back, -1.0, 1.0)[:, None]
+        final_normal = final_normal * sgn
+        world_normal = world_normal * sgn
 
     return Surface(
         dist=dist,
