@@ -17,7 +17,16 @@ back from the frame aux. `vs_baseline` is rays/s divided by 1e8 (100 Mray/s,
 an RTX 3060 Ti-class ballpark for this ray budget — the reference publishes
 no numbers, BASELINE.md "Reference-published numbers").
 
-Prints ONE JSON line.
+Output (VERDICT r4 item 2 — make BVH/texture/backward regressions visible
+round-over-round): one JSON line per metric as each completes —
+  1. rays_per_sec_per_chip_cornell_1080p   (headline, printed first)
+  2. rays_per_sec_reflroom_glb_1080p_bvh2  (textured glTF, two-level BVH;
+     the reference's own golden asset + camera, examples/png/main.rs:43-61)
+  3. fwd_bwd_rays_per_sec_per_chip_cornell (720p differentiable frame)
+then a FINAL line = the headline metric with the others embedded under
+detail.extra_metrics (the driver parses the LAST JSON line; the embedded
+copies keep all three auditable from BENCH_rNN.json). `--headline-only`
+skips 2-3; `--grad` runs only 3 (unchanged).
 """
 
 import json
@@ -44,7 +53,7 @@ from sunray_tpu.utils.provenance import exec_paths
 
 
 def _start_outage_watchdog(probe_timeout_s: int = 240,
-                           total_timeout_s: int = 560):
+                           total_timeout_s: int = 700):
     """The axon tunnel can be down for hours, in which case jax.devices()
     or any dispatch HANGS (docs in CLAUDE.md). Guard with an IN-PROCESS
     watchdog thread: if the tiny probe computation below hasn't completed
@@ -58,10 +67,13 @@ def _start_outage_watchdog(probe_timeout_s: int = 240,
     share the main process's single connection.
     """
     if jax.config.jax_platforms == "cpu":
-        return lambda: None
+        wd = {"extend": lambda s: None, "finished": lambda: None,
+              "set_fallback": lambda r: None}
+        return wd
     import threading
 
     done = {"probe": False, "bench": False}
+    state = {"deadline": time.time() + total_timeout_s, "fallback": None}
     t0 = time.time()
 
     def watch():
@@ -70,10 +82,20 @@ def _start_outage_watchdog(probe_timeout_s: int = 240,
             dt = time.time() - t0
             if not done["probe"] and dt > probe_timeout_s:
                 break
-            if not done["bench"] and dt > total_timeout_s:
+            if not done["bench"] and time.time() > state["deadline"]:
                 break
             if done["bench"]:
                 return
+        if state["fallback"] is not None:
+            # The headline metric already completed — a hang in a LATER
+            # phase must not erase it. Re-print it as the final line
+            # (annotated) and exit clean for the driver.
+            fb = dict(state["fallback"])
+            fb.setdefault("detail", {})["note"] = (
+                "extra bench phases hung (tunnel outage at "
+                f"{time.time() - t0:.0f}s); headline metric is valid")
+            print(json.dumps(fb), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": "rays_per_second",
             "value": 0,
@@ -92,7 +114,15 @@ def _start_outage_watchdog(probe_timeout_s: int = 240,
 
     def finished():
         done["bench"] = True
-    return finished
+
+    def extend(seconds):
+        state["deadline"] = time.time() + seconds
+
+    def set_fallback(result):
+        state["fallback"] = result
+
+    return {"extend": extend, "finished": finished,
+            "set_fallback": set_fallback}
 
 
 def _grad_bench(small: bool):
@@ -171,15 +201,81 @@ def _grad_bench(small: bool):
             "exec_paths": exec_paths(cfg, scene.num_lights),
         },
     }
-    print(json.dumps(result))
+    return result
+
+
+def _reflroom_bench(small: bool):
+    """Textured glTF metric: ReflectionRoom.glb (the reference's own golden
+    asset + camera, examples/png/main.rs:43-61), full ReSTIR pipeline at
+    1080p, two-level BLAS/TLAS tracer (ops/bvh2.py — the scene is 6
+    instances of small meshes, bvh2's regime; the default auto policy takes
+    brute below 4096 world tris, so the backend under measurement is
+    pinned explicitly and recorded in exec_paths)."""
+    glb = "/root/reference/examples/assets/ReflectionRoom.glb"
+    if not os.path.exists(glb):
+        return None
+    from sunray_tpu.ops.bvh2 import build_blas_set
+    from sunray_tpu.scene.gltf import load_gltf
+
+    w, h = (480, 270) if small else (1920, 1080)
+    cfg = RenderConfig(width=w, height=h, lighting="restir", tracer="bvh2")
+    scene = load_gltf(glb)
+    accel = build_blas_set(scene, leaf_size=cfg.bvh_leaf_size)
+    cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
+                 fov_y=45.0)
+    mats = camera_matrices(cam, w, h)
+    state = RenderState.create(cfg)
+    step = jax.jit(
+        lambda st: render_frame(scene, cfg, st, mats, accel),
+        donate_argnums=(0,),
+    )
+    n_warm, n_bench = 5, 10
+    t0 = time.time()
+    aux = None
+    for _ in range(n_warm):
+        state, ldr, aux = step(state)
+    jax.block_until_ready(ldr)
+    compile_and_warm = time.time() - t0
+    t0 = time.time()
+    for _ in range(n_bench):
+        state, ldr, aux = step(state)
+    jax.block_until_ready(ldr)
+    dt = (time.time() - t0) / n_bench
+
+    ris_rounds = int(aux["ris_rounds"])
+    final_rounds = int(aux["final_rounds"])
+    p = w * h
+    rays_per_frame = p * (
+        ris_rounds + 3 + max(final_rounds - 1, 0) + 2
+        + cfg.gi_spatial_samples
+    )
+    return {
+        "metric": "rays_per_sec_reflroom_glb_1080p_bvh2",
+        "value": round(rays_per_frame / dt / 1e6, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(rays_per_frame / dt / 1e8, 4),
+        "detail": {
+            "frame_ms": round(dt * 1e3, 2),
+            "rays_per_frame": rays_per_frame,
+            "ris_rounds": ris_rounds,
+            "final_rounds": final_rounds,
+            "resolution": f"{w}x{h}",
+            "num_tris": int(scene.num_tris),
+            "num_instances": int(scene.inst_prim.shape[0]),
+            "textured": True,
+            "warmup_s": round(compile_and_warm, 1),
+            "exec_paths": exec_paths(cfg, scene.num_lights),
+        },
+    }
 
 
 def main():
     small = "--small" in sys.argv
-    finished = _start_outage_watchdog()
+    wd = _start_outage_watchdog()
     if "--grad" in sys.argv:
-        _grad_bench(small)
-        finished()
+        wd["extend"](900)
+        print(json.dumps(_grad_bench(small)))
+        wd["finished"]()
         return
     w, h = (480, 270) if small else (1920, 1080)
     cfg = RenderConfig(width=w, height=h, lighting="restir")
@@ -237,8 +333,39 @@ def main():
             "exec_paths": exec_paths(cfg, scene.num_lights),
         },
     }
-    print(json.dumps(result))
-    finished()
+    print(json.dumps(result), flush=True)
+    wd["set_fallback"](result)
+
+    extras = []
+    if "--headline-only" not in sys.argv:
+        # Each extra phase gets its own fresh deadline; a hang inside one
+        # re-prints the completed headline (watchdog fallback) instead of
+        # erasing it.
+        for phase in (_reflroom_bench, _grad_bench):
+            wd["extend"](700)
+            r = phase(small)
+            if r is not None:
+                print(json.dumps(r), flush=True)
+                extras.append(r)
+                final = dict(result)
+                final["detail"] = dict(result["detail"])
+                final["detail"]["extra_metrics"] = [
+                    {k: e[k] for k in ("metric", "value", "unit",
+                                       "vs_baseline", "detail")}
+                    for e in extras
+                ]
+                wd["set_fallback"](final)
+
+    final = dict(result)
+    final["detail"] = dict(result["detail"])
+    if extras:
+        final["detail"]["extra_metrics"] = [
+            {k: e[k] for k in ("metric", "value", "unit", "vs_baseline",
+                               "detail")}
+            for e in extras
+        ]
+    print(json.dumps(final), flush=True)
+    wd["finished"]()
 
 
 if __name__ == "__main__":
