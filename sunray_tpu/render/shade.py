@@ -126,12 +126,21 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True,
         axis=1,
     )
     ncols = vpack.shape[1]
+    # Textureless scene (static 1x1x1 atlas, sample_texture's short-circuit
+    # shape): no normal map can exist, so the whole TBN/normal-mapping
+    # block below is provably the identity on final_normal — skip it
+    # STATICALLY and drop the tangent columns (6-9) from the corner
+    # gathers (per-call-site column narrowing; the tangent planes were
+    # 40% of each geometry gather's output traffic on the Cornell bench).
+    trivial_atlas = scene.textures.data.shape[:3] == (1, 1, 1)
+    geo_cols = 6 if trivial_atlas else 10
+    uv_base = geo_cols  # corner-tuple index of packed column 10
     if nverts <= SELECT_GATHER_MAX_ROWS:
         # Geometry (10 cols) and uv (10 cols) ride SEPARATE gathers so a
         # textureless scene's dead uv chain (sample_texture's static
         # trivial-atlas short-circuit) lets XLA drop the uv gather whole —
         # a single fused gather would haul all 20 columns regardless.
-        vgeo = vpack[:, :10]
+        vgeo = vpack[:, :geo_cols]
         vuv = vpack[:, 10:]
         from sunray_tpu.ops.pallas_gather import (
             MAX_ROWS,
@@ -163,6 +172,7 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True,
             tuple(r[:, c] for c in range(ncols))
             for r in (vpack[vidx_k[k]] for k in range(3))
         ]                                         # 3 corners x 20 columns
+        uv_base = 10                              # full rows: packed layout
 
     # Recompute (t, u, v) differentiably from the winning triangle: the
     # tracer's winner index is discrete (and its Pallas kernels have no AD
@@ -211,10 +221,12 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True,
         return sum(bw[k] * corners[k][o] for k in range(3))
 
     n_obj = jnp.stack([interp(3 + i) for i in range(3)], axis=-1)
-    tangent_obj = jnp.stack([interp(6 + i) for i in range(3)], axis=-1)
-    handedness = jnp.where(corners[0][9] >= 0.0, 1.0, -1.0)  # vertex 0 only
-    ub = 10 + 2 * TEX_BASE_COLOR
-    un = 10 + 2 * TEX_NORMAL
+    if not trivial_atlas:
+        tangent_obj = jnp.stack([interp(6 + i) for i in range(3)], axis=-1)
+        handedness = jnp.where(
+            corners[0][9] >= 0.0, 1.0, -1.0)  # vertex 0 only
+    ub = uv_base + 2 * TEX_BASE_COLOR
+    un = uv_base + 2 * TEX_NORMAL
     uv = jnp.stack([interp(ub), interp(ub + 1)], axis=-1)
     normal_uv = jnp.stack([interp(un), interp(un + 1)], axis=-1)
 
@@ -258,6 +270,14 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True,
     )
     final_normal = world_normal
 
+    if trivial_atlas:
+        # No textures -> no normal map: raw_nm would be the static default
+        # (0.5, 0.5, 1.0), snm exactly (0, 0, 1), and `mapped` exactly
+        # world_normal — the whole TBN pipeline below is the identity.
+        return _finish_surface(scene, orig, d, hit, t_att, prim, uv,
+                               base_color, emission, world_normal,
+                               final_normal, mats, face_forward)
+
     # Normal mapping (closest_hit.slang:56-72).
     has_tangent = vec_norm(tangent_obj) > 0.001
     has_normal_tex = tex[:, TEX_NORMAL] != NULL_TEXTURE
@@ -299,6 +319,18 @@ def shade_hits(scene, orig, d, hit, differentiable_t=True,
         eps=1e-12,
     )
     final_normal = jnp.where(do_nm[:, None], mapped, final_normal)
+
+    return _finish_surface(scene, orig, d, hit, t_att, prim, uv, base_color,
+                           emission, world_normal, final_normal, mats,
+                           face_forward)
+
+
+def _finish_surface(scene, orig, d, hit, t_att, prim, uv, base_color,
+                    emission, world_normal, final_normal, mats,
+                    face_forward):
+    """Shared shade_hits tail: metallic-roughness sampling, hit position,
+    the face-forward flip, and Surface assembly."""
+    tex = gather_vec(mats.tex_index, prim)
 
     # Roughness / metallic (closest_hit.slang:79-87).
     roughness = mats.roughness[prim]
