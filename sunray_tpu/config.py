@@ -215,6 +215,20 @@ class RenderConfig:
     # its history-validity behavior can be measured/tested on CPU
     # (examples/ab_history_motion.py); False forces plain gathers.
     history_gather_force: "bool | None" = None
+    # Pallas window-select fast path for the history ladder's shift
+    # branches (ops/pallas_window.py): the zero-residual / 4-tap / box
+    # selects run as ONE kernel pass over the transposed (C, P) history
+    # table (DMA window + in-VMEM dynamic lane rotates) instead of the
+    # jnp bitcast+roll+extension+select chain. MEASURED SLOWER at 1080p
+    # (96.6 -> 99.1 ms same-process, 2026-08-21): the kernels themselves
+    # beat the jnp conds (~0.6-1.4 vs 1.8-2.3 ms) but the (P,3)->(3,P)
+    # table-build transposes + C->8-row padding eat more than the win.
+    # Default "off"; "auto" enables on TPU forward frames (bit-identical
+    # on selected lanes — exactness pinned in tests/test_banded.py). The
+    # structural fix — reservoir state stored component-SoA so the table
+    # build is relayout-free — is ROADMAP material.
+    history_select_kernel: str = "off"
+
     # Joint DI+GI temporal-history gather: one shared jittered
     # reprojection + ONE packed (P, C_di+C_gi) banded row gather instead
     # of two independent gathers with independent jitters (the reference

@@ -231,6 +231,109 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
     )
 
 
+def _window_spec(idx, width, valid, global_motion):
+    """Shared motion statistics for the fast-path ladders: per-lane source
+    offsets, the rounded mean motion (gy, gx), and signed residuals."""
+    p = idx.shape[0]
+    dst = jnp.arange(p, dtype=idx.dtype)
+    dy = idx // width - dst // width
+    dx = idx % width - dst % width
+    wts = (
+        valid.astype(jnp.float32) if valid is not None
+        else jnp.ones((p,), jnp.float32)
+    )
+    den = jnp.maximum(jnp.sum(wts), 1.0)
+    if global_motion:
+        gy = jnp.round(jnp.sum(dy.astype(jnp.float32) * wts) / den)
+        gx = jnp.round(jnp.sum(dx.astype(jnp.float32) * wts) / den)
+    else:
+        gy = jnp.float32(0.0)
+        gx = jnp.float32(0.0)
+    dyr = dy.astype(jnp.float32) - gy
+    dxr = dx.astype(jnp.float32) - gx
+    return dy, dx, gy, gx, dyr, dxr, wts, den
+
+
+def _kernel_window_gather(table_pad_t, p, width, window, gy, gx, dyr, dxr):
+    """One ladder branch on the TRANSPOSED padded (C, P) table via the
+    Pallas window-select kernel (ops/pallas_window.py): key/ok from the
+    signed residuals, taps enumerated in shift_row_gather's (sy, sx) order
+    so selected lanes are bit-identical to the jnp chain."""
+    from sunray_tpu.ops.pallas_window import window_select_t
+
+    ry_lo, ry_hi, rx_lo, rx_hi = window
+    nx = rx_hi - rx_lo + 1
+    ok = (dyr >= ry_lo) & (dyr <= ry_hi) & (dxr >= rx_lo) & (dxr <= rx_hi)
+    key = jnp.where(
+        ok,
+        (dyr - ry_lo).astype(jnp.int32) * nx + (dxr - rx_lo).astype(jnp.int32),
+        -1,
+    )
+    taps = [sy * width + sx
+            for sy in range(ry_lo, ry_hi + 1)
+            for sx in range(rx_lo, rx_hi + 1)]
+    g = (gy.astype(jnp.int32) * width + gx.astype(jnp.int32))
+    rows_t = window_select_t(table_pad_t, key, g, taps, p)
+    return rows_t, ok
+
+
+def auto_row_gather_t(table_pad_t, idx, width, band=DEFAULT_BAND,
+                      halo=DEFAULT_HALO, radius=1, min_retention=0.98,
+                      valid=None):
+    """auto_row_gather on a TRANSPOSED, zero-PADDED (C, pad+P+pad) float32
+    table ((pl, pr) = pallas_window.pads(P) lanes around it — the caller
+    adds it in the same concatenate that builds the table), with the three
+    fast branches (zero-residual / 4-tap jitter window / radius-r box) run
+    by the Pallas window-select kernel — ~1 table pass each instead of the
+    jnp chain's ~9-12 (pallas_window.py docstring) — and the banded
+    VMEM-windowed gather as the exact fallback (unpadding + transposing
+    in-branch; only executed on fast-rotation/parallax frames, or when the
+    global motion exceeds the kernel's max_shift bound). Returns
+    ((C, P) rows_t, ok). TPU-only callers gate on backend."""
+    from sunray_tpu.ops.pallas_window import max_shift, pads
+
+    c, p_pad = table_pad_t.shape
+    p = idx.shape[0]
+    pad_l, pad_r = pads(p)
+    assert p_pad == pad_l + pad_r + p, (p_pad, pad_l, pad_r, p)
+    dy, dx, gy, gx, dyr, dxr, wts, den = _window_spec(
+        idx, width, valid, True
+    )
+    ret = lambda fits: jnp.sum(fits.astype(jnp.float32) * wts) / den
+    retention0 = ret((dyr == 0) & (dxr == 0))
+    retention4 = ret((dyr >= -1) & (dyr <= 0) & (dxr >= -1) & (dxr <= 0))
+    retention_r = ret((jnp.abs(dyr) <= radius) & (jnp.abs(dxr) <= radius))
+    g_abs = jnp.abs(gy * width + gx)
+    span_max = 2 * (radius * width + radius)
+    g_ok = g_abs <= max_shift(p, span_max)
+
+    def fast(window):
+        return lambda: _kernel_window_gather(
+            table_pad_t, p, width, window, gy, gx, dyr, dxr
+        )
+
+    def banded():
+        rows, okb = banded_row_gather(
+            table_pad_t[:, pad_l:pad_l + p].T, idx, width, band, halo,
+            force=True, layout="rows"
+        )
+        return rows.T, okb
+
+    return jax.lax.cond(
+        g_ok & (retention0 >= min_retention),
+        fast((0, 0, 0, 0)),
+        lambda: jax.lax.cond(
+            g_ok & (retention4 >= min_retention),
+            fast((-1, 0, -1, 0)),
+            lambda: jax.lax.cond(
+                g_ok & (retention_r >= min_retention),
+                fast((-radius, radius, -radius, radius)),
+                banded,
+            ),
+        ),
+    )
+
+
 def shift_row_gather(table, idx, width, radius_y, radius_x, force=None,
                      global_motion=True, valid=None, window=None):
     """Row gather restricted to a (2ry+1) x (2rx+1) screen-space

@@ -118,6 +118,7 @@ def render_frame(scene, cfg, state: RenderState, mats, accel=None):
             # image kernels have no AD rules (same policy as the fused
             # ReSTIR kernels, ops/pallas_restir.py).
             kernel="jnp" if cfg.differentiable else cfg.taa_kernel,
+            history_select_kernel=restir._history_kernel_ok(cfg),
         )
     else:
         accum = raw_img

@@ -77,7 +77,7 @@ def bilinear_sample(img, uv):
 
 def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
                            mode="banded", radius=3, shift_global=True,
-                           auto_min_retention=0.98):
+                           auto_min_retention=0.98, select_kernel=False):
     """Bilinear history fetch as ONE banded 12-column row gather.
 
     The four corner taps of `bilinear_sample` are packed into a
@@ -107,6 +107,32 @@ def bilinear_sample_banded(img, uv, band, halo, force=None, layout="rows",
     idx = (by * w + bx).reshape(-1)
     if mode == "auto":
         on_screen = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1).reshape(-1)
+        use_kernel = False
+        if select_kernel and shift_global and jax.default_backend() == "tpu":
+            from sunray_tpu.ops import pallas_window
+
+            span = 2 * (radius * w + radius)
+            use_kernel = (pallas_window.max_shift(h * w, span) > 0
+                          and h * w >= pallas_window.BLOCK)
+        if use_kernel:
+            from sunray_tpu.ops import pallas_window
+            from sunray_tpu.ops.banded import auto_row_gather_t
+
+            packed_t = pallas_window.build_table(
+                [jnp.moveaxis(x, -1, 0).reshape(c, -1)
+                 for x in (img, right, down, downright)], h * w)
+            rows_t, ok = auto_row_gather_t(
+                packed_t, idx, w, band, halo, radius=radius,
+                min_retention=auto_min_retention, valid=on_screen,
+            )
+            corners = [
+                rows_t[k * c:(k + 1) * c].T.reshape(h, w, c)
+                for k in range(4)
+            ]
+            h00, h10, h01, h11 = corners
+            out = ((h00 * (1 - fx) + h10 * fx) * (1 - fy)
+                   + (h01 * (1 - fx) + h11 * fx) * fy)
+            return out, ok.reshape(h, w)
         rows, ok = auto_row_gather(
             packed.reshape(h * w, 4 * c), idx, w, band, halo, radius=radius,
             min_retention=auto_min_retention, force=force,
@@ -212,7 +238,7 @@ def temporal_accumulate(raw, motion, history, frame_count,
                         history_layout="rows", history_mode="banded",
                         history_radius=3, history_shift_global=True,
                         history_force=None, history_auto_min_retention=0.98,
-                        grid=None, kernel="jnp"):
+                        grid=None, kernel="jnp", history_select_kernel=False):
     """TAA with 3x3 luminance-gated neighborhood clamp
     (temporal_accumulation.slang:60-132).
 
@@ -249,6 +275,7 @@ def temporal_accumulate(raw, motion, history, frame_count,
             layout=history_layout, mode=history_mode, radius=history_radius,
             shift_global=history_shift_global, force=history_force,
             auto_min_retention=history_auto_min_retention,
+            select_kernel=history_select_kernel,
         )
     else:
         hist = bilinear_sample(history, prev_uv)

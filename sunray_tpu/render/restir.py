@@ -367,7 +367,7 @@ def _ris_audition_sequential(lights: Lights, seed, hit_pos, hit_normal,
 def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
                    mode="banded", radius=3, grid=None, grid_halo=0,
                    valid=None, shift_global=True, force=None,
-                   auto_min_retention=0.98):
+                   auto_min_retention=0.98, kernel_ok=False):
     """Gather many same-length (P,) / (P,3) fields at the same indices with
     ONE row gather of a packed (P, C) matrix. XLA's TPU gather emitter pays
     ~25 ns per gathered scalar when tables exceed VMEM, but a packed row
@@ -396,6 +396,37 @@ def _gather_packed(fields, idx, width=0, band=0, halo=0, layout="rows",
         else:
             cols.append(g)
             spec.append((is_int, g.shape[1]))
+    if (kernel_ok and grid is None and band > 0 and width > 0
+            and mode == "auto" and shift_global
+            and jax.default_backend() == "tpu"):
+        from sunray_tpu.ops import pallas_window
+        from sunray_tpu.ops.banded import auto_row_gather_t
+
+        p = idx.shape[0]
+        span = 2 * (radius * width + radius)
+        if pallas_window.max_shift(p, span) > 0 and p >= pallas_window.BLOCK:
+            # Fast-path ladder on the TRANSPOSED (C, pad+P+pad) table: the
+            # Pallas window-select kernel runs the zero/4-tap/box branches
+            # in ~1 table pass (no pack->roll->ext->select chain); the
+            # banded fallback transposes in-branch (rare: fast rotation).
+            # The zero side/row pads ride the same concatenate that
+            # builds the table (pallas_window.build_table).
+            table_t = pallas_window.build_table(
+                [g.T for g in cols], p)
+            rows_t, in_band = auto_row_gather_t(
+                table_t, idx, width, band, halo, radius=radius,
+                min_retention=auto_min_retention, valid=valid,
+            )
+            out = []
+            o = 0
+            for is_int, n in spec:
+                g = rows_t[o] if n == 1 else rows_t[o:o + n].T
+                if is_int:
+                    g = jax.lax.bitcast_convert_type(g, jnp.int32)
+                out.append(g)
+                o += n
+            return out, in_band
+
     packed = jnp.concatenate(cols, axis=1)           # (P, C)
     if grid is not None:
         from sunray_tpu.parallel.halo import exchange_flat, gather_flat_ext
@@ -474,9 +505,20 @@ def _gather_reservoir_banded(r, idx, width, cfg, grid=None, valid=None):
         valid=valid, shift_global=cfg.history_shift_global,
         force=cfg.history_gather_force,
         auto_min_retention=cfg.history_auto_min_retention,
+        kernel_ok=_history_kernel_ok(cfg),
     )
     out = out[:1] + [jnp.zeros_like(wsum_leaf)] + out[1:]
     return jax.tree_util.tree_unflatten(treedef, out), in_band
+
+
+def _history_kernel_ok(cfg):
+    """Gate for the Pallas window-select history fast path: TPU forward
+    frames only (the differentiable frame keeps the jnp chain — no AD
+    rule through pallas_call; history carries no gradient, but the gate
+    mirrors the other fused kernels' policy)."""
+    return (cfg.history_select_kernel == "auto"
+            and not cfg.differentiable
+            and jax.default_backend() == "tpu")
 
 
 def gather_temporal_histories(cfg, seed, hist_di: ReservoirDI,
@@ -512,6 +554,7 @@ def gather_temporal_histories(cfg, seed, hist_di: ReservoirDI,
         valid=base_ok & enable_hint, shift_global=cfg.history_shift_global,
         force=cfg.history_gather_force,
         auto_min_retention=cfg.history_auto_min_retention,
+        kernel_ok=_history_kernel_ok(cfg),
     )
     n_di = len(leaves_di) - 1
     out_di = out[:1] + [jnp.zeros_like(wsum_di)] + out[1:n_di]
