@@ -138,6 +138,14 @@ class RenderConfig:
     #     walks + per-frame in-jit TLAS (64x512-tri orbit: 234 ms vs
     #     44 s unified).
     tracer: str = "auto"       # "auto" | "brute" | "bvh" | "bvh2" | "binned"
+    # Occlusion-kernel arithmetic on the brute Pallas path: "mt" =
+    # Moller-Trumbore on the VPU (ops/pallas_trace._occluded_kernel);
+    # "woop" = per-triangle Woop affine transforms as one (6T, 8) x (8, B)
+    # MXU matmul + a division-free VPU epilogue (~25 vs ~56 elementwise
+    # ops per tri-ray; trace_occluded_woop). Same intersection predicate
+    # up to float factorization noise (grazing-edge flips possible;
+    # agreement pinned in tests). Measured A/B in docs/PERFORMANCE.md.
+    trace_impl: str = "mt"
     brute_force_max_tris: int = 4096
     bvh_leaf_size: int = 4
     cluster_k: int = 128               # triangles per binned-tracer cluster

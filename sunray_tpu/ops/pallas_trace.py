@@ -155,6 +155,106 @@ def _occluded_kernel(o_ref, d_ref, v0_ref, v1_ref, v2_ref, tn_ref, tx_ref,
     occ_out[0, :] = occ_out[0, :] | jnp.any(valid, axis=0)
 
 
+def woop_matrices(tris):
+    """Per-triangle Woop-style affine transforms for the MXU occlusion
+    kernel (ROADMAP item 2a): rows of W = [e1 e2 n]^-1 (n = e1 x e2), so a
+    point's barycentric/height coords are (u, v, w) = W (x - v0) and a ray
+    needs only SIX dot products — (uo, vo, wo) = W o + c, (ud, vd, wd) =
+    W d — which batch into ONE (6T, 8) x (8, B) MXU matmul against
+    X = [o, 1, d, 0]. Closed-form inverse: W = [e2 x n; n x e1; n] / n.n.
+
+    Returns (a_mat (6, T, 8) float32 — component-major rows [uo, vo, wo,
+    ud, vd, wd] — and eps (T, 1): the per-triangle |wd| threshold
+    equivalent to Moller-Trumbore's DET_EPS, since det_MT = -wd * n.n).
+    Degenerate/padded triangles get eps = +inf (never hit)."""
+    v0, v1, v2 = tris
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    nn = jnp.sum(n * n, axis=-1)
+    ok = nn > 0.0
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, nn, 1.0), 0.0)
+    r1 = jnp.cross(e2, n) * inv[:, None]
+    r2 = jnp.cross(n, e1) * inv[:, None]
+    r3 = n * inv[:, None]
+    z1 = jnp.zeros_like(nn)[:, None]
+    z3 = jnp.zeros_like(r1)
+
+    def o_rows(r):
+        c = -jnp.sum(r * v0, axis=-1)[:, None]
+        return jnp.concatenate([r, c, z3, z1], axis=1)        # (T, 8)
+
+    def d_rows(r):
+        return jnp.concatenate([z3, z1, r, z1], axis=1)       # (T, 8)
+
+    a_mat = jnp.stack(
+        [o_rows(r1), o_rows(r2), o_rows(r3),
+         d_rows(r1), d_rows(r2), d_rows(r3)], axis=0
+    )                                                         # (6, T, 8)
+    eps = jnp.where(ok, DET_EPS * inv, jnp.inf)[:, None]      # (T, 1)
+    return a_mat, eps
+
+
+def _pad_woop(a_mat, eps, tile):
+    t = a_mat.shape[1]
+    tp = -(-t // tile) * tile
+    if tp != t:
+        a_mat = jnp.pad(a_mat, ((0, 0), (0, tp - t), (0, 0)))
+        eps = jnp.pad(eps, ((0, tp - t), (0, 0)),
+                      constant_values=jnp.inf)
+    return a_mat, eps
+
+
+def _occluded_woop_kernel(a_ref, eps_ref, o_ref, d_ref, tn_ref, tx_ref,
+                          ex_ref, occ_out, *, n_tris, use_exclude, tile):
+    """Occlusion via the Woop transform: the 6T dot products ride one MXU
+    matmul; the VPU epilogue is the DIVISION-FREE scaled test (u = U/wd,
+    so sign tests against |wd| replace the inv_det multiply chain):
+    ~25 elementwise ops per (tri, ray) vs Moller-Trumbore's ~56."""
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        occ_out[0, :] = jnp.zeros_like(occ_out[0, :])
+
+    b = o_ref.shape[1]
+    one = jnp.ones((1, b), jnp.float32)
+    zero = jnp.zeros((1, b), jnp.float32)
+    x = jnp.concatenate([o_ref[...], one, d_ref[...], zero], axis=0)
+    a = a_ref[...].reshape(6 * tile, 8)
+    g = jax.lax.dot_general(
+        a, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # (6*tile, B)
+    uo = g[0 * tile:1 * tile]
+    vo = g[1 * tile:2 * tile]
+    wo = g[2 * tile:3 * tile]
+    ud = g[3 * tile:4 * tile]
+    vd = g[4 * tile:5 * tile]
+    wd = g[5 * tile:6 * tile]
+
+    sw = jnp.where(wd >= 0.0, 1.0, -1.0)
+    den = wd * sw                                  # |wd|
+    us = (uo * wd - wo * ud) * sw                  # = u * |wd|
+    vs = (vo * wd - wo * vd) * sw
+    ws = -wo * sw                                  # t * |wd|
+    tn = tn_ref[0, :][None, :] * den
+    tx = tx_ref[0, :][None, :] * den
+    tri_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + ti * tile
+    valid = (
+        (den > eps_ref[...])
+        & (us >= 0.0) & (vs >= 0.0) & (us + vs <= den)
+        & (ws >= tn) & (ws <= tx)
+        & (tri_ids < n_tris)
+    )
+    if use_exclude:
+        valid = valid & (
+            jnp.broadcast_to(tri_ids, valid.shape) != ex_ref[0, :][None, :]
+        )
+    occ_out[0, :] = occ_out[0, :] | jnp.any(valid, axis=0)
+
+
 def _prep_rays(orig, d, tmin, tmax):
     orig = orig.reshape(-1, 3)
     d = d.reshape(-1, 3)
@@ -224,6 +324,57 @@ def trace_closest_pallas(tris, orig, d, tmin=intersect.T_MIN,
         v=v_o[0, :n],
         hit=tri_r >= 0,
     )
+
+
+def trace_occluded_woop(tris, orig, d, tmax, tmin=intersect.T_MIN,
+                        exclude=None, woop=None):
+    """Occlusion query via the Woop/MXU kernel. Same predicate as
+    trace_occluded_pallas up to float-arithmetic noise (different
+    factorization of the same intersection equations — grazing-edge hits
+    can flip; equivalence pinned statistically in tests/test_intersect.py).
+    woop: optional precomputed (a_mat, eps) from woop_matrices (callers
+    hoist it out of per-bounce loops; XLA CSEs it across queries)."""
+    tile = _tri_tile(tris[0].shape[0])
+    n_tris = tris[0].shape[0]
+    if woop is None:
+        woop = woop_matrices(tris)
+    a_mat, eps = _pad_woop(*woop, tile)
+    tiles = a_mat.shape[1] // tile
+    o_t, d_t, tn, tx, n, nb = _prep_rays(orig, d, tmin, tmax)
+    ray_spec, scal_spec, _, out_spec = _specs(nb, tiles, None, None, tile)
+
+    use_exclude = exclude is not None
+    npad = nb * BLOCK_RAYS - n
+    ex = (
+        jnp.pad(jnp.asarray(exclude, jnp.int32).reshape(-1), (0, npad),
+                constant_values=-1)[None]
+        if use_exclude
+        else jnp.full((1, nb * BLOCK_RAYS), -1, jnp.int32)
+    )
+
+    kernel = functools.partial(
+        _occluded_woop_kernel, n_tris=n_tris, use_exclude=use_exclude,
+        tile=tile,
+    )
+    occ = pl.pallas_call(
+        kernel,
+        name="trace_occluded_woop",
+        grid=(nb, tiles),
+        in_specs=[
+            pl.BlockSpec((6, tile, 8), lambda i, t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, scal_spec, scal_spec, scal_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nb * BLOCK_RAYS), bool),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(a_mat, eps, o_t, d_t, tn, tx, ex)
+    return occ[0, :n]
 
 
 def trace_occluded_pallas(tris, orig, d, tmax, tmin=intersect.T_MIN,

@@ -43,6 +43,9 @@ class TracerCtx(NamedTuple):
     # per-hit alpha evaluation.
     alpha_scene: Optional[object] = None
     alpha_rounds: int = 4            # max cutout skips per query
+    # Precomputed Woop transforms (pallas_trace.woop_matrices) for the
+    # MXU occlusion kernel (cfg.trace_impl="woop"); None = Moller-Trumbore.
+    woop: Optional[tuple] = None
 
 
 def make_tracer(scene, cfg, accel=None) -> TracerCtx:
@@ -114,8 +117,13 @@ def make_tracer(scene, cfg, accel=None) -> TracerCtx:
         cfg.tracer == "auto" and n_tris > brute_max
     )
     bvh = bvh_mod.build_bvh(tris, leaf_size=cfg.bvh_leaf_size) if use_bvh else None
+    woop = None
+    if (bvh is None and _use_pallas()
+            and getattr(cfg, "trace_impl", "mt") == "woop"):
+        woop = pallas_trace.woop_matrices(tris)
     return TracerCtx(
-        tris=tris, bvh=bvh, block=cfg.trace_block_rays, alpha_scene=alpha_scene
+        tris=tris, bvh=bvh, block=cfg.trace_block_rays,
+        alpha_scene=alpha_scene, woop=woop,
     )
 
 
@@ -310,9 +318,15 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
             block=min(ctx.block, bvh_mod.TRAVERSE_BLOCK),
         )
     elif _use_pallas():
-        occ = pallas_trace.trace_occluded_pallas(
-            ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude
-        )
+        if ctx.woop is not None:
+            occ = pallas_trace.trace_occluded_woop(
+                ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude,
+                woop=ctx.woop,
+            )
+        else:
+            occ = pallas_trace.trace_occluded_pallas(
+                ctx.tris, orig, d, tmax - 1e-3, tmin, exclude=exclude
+            )
     else:
         occ = intersect.trace_occluded_brute(
             ctx.tris, orig, d, tmax - 1e-3, tmin, block=ctx.block,
