@@ -237,10 +237,10 @@ def _interval_cull(o_t, d_t, tn, tx, aabb_lo, aabb_hi, nb, rb):
 # kernel short-circuits once every ray is occluded.
 
 
-def _ray_tile_hits(tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref):
+def _ray_tile_hits(rows, o_ref, d_ref, tn_ref, tx_ref, ex_ref):
     """Moller-Trumbore of one (16, K) cluster row block against (lanes)
     rays: returns (tt(K,RB) inf-where-invalid, uu, vv, valid, ids(K,1))."""
-    rows = tri_ref[0]                                      # (16, K)
+
     v0x, v0y, v0z = rows[0, :], rows[1, :], rows[2, :]
     e1x = (rows[3, :] - v0x)[:, None]
     e1y = (rows[4, :] - v0y)[:, None]
@@ -306,7 +306,7 @@ def _closest_kernel(bids_ref, cids_ref, ents_ref,
     @pl.when(live)
     def _():
         tt, uu, vv, valid, ids = _ray_tile_hits(
-            tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref
+            tri_ref[0], o_ref, d_ref, tn_ref, tx_ref, ex_ref
         )
         k = jnp.argmin(tt, axis=0)
         sel = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0) == k[None, :]
@@ -343,7 +343,7 @@ def _anyhit_kernel(bids_ref, cids_ref, ents_ref,
     @pl.when(live)
     def _():
         _, _, _, valid, _ = _ray_tile_hits(
-            tri_ref, o_ref, d_ref, tn_ref, tx_ref, ex_ref
+            tri_ref[0], o_ref, d_ref, tn_ref, tx_ref, ex_ref
         )
         occ_out[0, :] = jnp.maximum(
             occ_out[0, :], jnp.any(valid, axis=0).astype(jnp.float32)
@@ -519,6 +519,10 @@ def _reorder_rays(cs, orig, d, tmax, exclude):
     tmax_a = jnp.broadcast_to(
         jnp.asarray(tmax, jnp.float32).reshape(-1), (n,)
     ) if jnp.ndim(tmax) <= 1 else tmax
+    # Dead lanes (tmax = -inf, e.g. the pair-stream overflow fallback's
+    # masked rays) sort LAST so their blocks are fully dead and the
+    # interval cull removes them outright.
+    key = jnp.where(tmax_a == -jnp.inf, jnp.uint32(0xFFFFFFFF), key)
     ex = (jnp.asarray(exclude, jnp.int32).reshape(-1)
           if exclude is not None else jnp.full((n,), -2, jnp.int32))
     (_, ox, oy, oz, dx, dy, dz, tx_s, ex_s, lane_s) = jax.lax.sort(
@@ -622,3 +626,476 @@ def trace_occluded_binned(cs: ClusterSet, orig, d, tmax,
         order, ents, nnz, work, c, o_t, d_t, tn, tx, ex, cs.tri_pack, nb,
     )
     return occ[:n]
+
+
+# ---------------------------------------------------------------------------
+# Pair-stream tracing (round-5): per-RAY culling for incoherent batches
+# ---------------------------------------------------------------------------
+#
+# The block-cull pipeline above is bounded by BLOCK diversity: a 512-ray
+# block of coherence-sorted bounce rays still touches ~19% of all clusters
+# (exact-union measurement, docs/PERFORMANCE.md round-5) while each RAY
+# individually passes ~2.3 clusters (0.4%) — a 50x gap no sort key can
+# close (measured sweep: more direction bits make it worse). The fix is to
+# assign work per (ray, cluster) PAIR:
+#
+#   1. A Pallas scan slab-tests every ray against every cluster AABB and
+#      records its first L_SLOTS hit clusters + the exact hit count
+#      (rays with more go to a masked fallback through the block path).
+#   2. Pairs (ray x slot) are payload-sorted by cluster id (lax.sort is
+#      cheap on TPU: 8M x 10 arrays ~ 23 ms measured), cut into 512-pair
+#      blocks, and a work item is emitted per (block, distinct-cid run).
+#   3. The tile kernels run as before — one cluster DMA per item — with
+#      lanes masked to the item's cid, accumulating per pair block.
+#   4. Results unsort by pair position and reduce over slots per ray
+#      (min for closest, OR for any-hit), merged with the fallback.
+#
+# Tile work drops from (surviving block pairs) x 512 rays to ~(hit pairs),
+# i.e. toward the per-ray floor the cull-rate analysis identified.
+
+L_SLOTS = 8            # recorded superclusters per ray (overflow -> fallback)
+SC_K = 4               # clusters per supercluster (scan/pair granularity:
+                       # grazing-tangent rays touch many cluster AABBs and
+                       # blew the slot budget at cluster granularity —
+                       # 12.6% overflow at L=8; Morton-consecutive groups
+                       # of 4 collapse that tail while the kernel expands
+                       # each pair back to its 4 cluster tiles)
+SCAN_BLOCK = 2048      # ray lanes per scan grid step
+
+
+def _cluster_scan_kernel(ray_ref, ab_ref, out_ref, *, n_c, n_real, cb,
+                         l_slots):
+    """Per-lane slab scan over all cluster AABBs, one CB-cluster tile at a
+    time (vectorized — the scalar-extract-per-cluster first version cost
+    103 ms at 2M rays x 640 clusters). ray_ref rows: ox, oy, oz, dx, dy,
+    dz, tn, tx (1 row each, B lanes); ab_ref (Cp, 8) rows [lo3, hi3, 0, 0]; out_ref rows: slot_0..slot_{L-1}, count (int32)."""
+    x = ray_ref[...]
+    ox, oy, oz = x[0:1], x[1:2], x[2:3]
+    dx, dy, dz = x[3:4], x[4:5], x[5:6]
+    tn, tx = x[6:7], x[7:8]
+
+    def inv(v):
+        tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    b = ox.shape[1]
+    neg1 = jnp.full((1, b), -1, jnp.int32)
+
+    def tile(ti, carry):
+        slots, cnt = carry
+        ab = ab_ref[pl.ds(ti * cb, cb), :]                  # (CB, 8)
+        lox, loy, loz = ab[:, 0:1], ab[:, 1:2], ab[:, 2:3]
+        hix, hiy, hiz = ab[:, 3:4], ab[:, 4:5], ab[:, 5:6]
+        # Cluster ids from iota, NOT a bitcast table column: small ints
+        # are DENORMAL f32s and the XLA concat building the table flushes
+        # them to zero on TPU (the shift_row_gather hazard; measured as a
+        # silent hit-rate collapse, docs/PERFORMANCE.md round-5).
+        cid = (jax.lax.broadcasted_iota(jnp.int32, (cb, 1), 0)
+               + ti * cb)
+        t1x = (lox - ox) * ix
+        t2x = (hix - ox) * ix
+        t1y = (loy - oy) * iy
+        t2y = (hiy - oy) * iy
+        t1z = (loz - oz) * iz
+        t2z = (hiz - oz) * iz
+        tnc = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tfc = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        # Small slack guards f32 rounding at AABB faces (overcull-safe:
+        # extra pairs are merged idempotently; missing one loses hits).
+        # Padded rows carry cid = -1 and never match a slot take below.
+        hit = ((tnc <= tfc + 1e-4) & (tfc >= tn - 1e-4)
+               & (tnc <= tx + 1e-4) & (cid < n_real))
+        hi32 = hit.astype(jnp.int32)
+        # Inclusive prefix count down the cluster-tile (sublane) axis.
+        pref = hi32
+        k = 1
+        while k < cb:
+            shifted = jnp.pad(pref, ((k, 0), (0, 0)))[:cb]
+            pref = pref + shifted
+            k *= 2
+        total = cnt + pref                                  # (CB, B)
+        for l in range(l_slots):
+            cand = jnp.max(
+                jnp.where(hit & (total == l + 1), cid, neg1), axis=0,
+                keepdims=True,
+            )
+            slots[l] = jnp.where(slots[l] >= 0, slots[l], cand)
+        cnt = cnt + jnp.sum(hi32, axis=0, keepdims=True)
+        return slots, cnt
+
+    slots = [neg1 for _ in range(l_slots)]
+    cnt = jnp.zeros((1, b), jnp.int32)
+    n_tiles = -(-n_c // cb)
+    for ti in range(n_tiles):
+        slots, cnt = tile(ti, (slots, cnt))
+    for l in range(l_slots):
+        out_ref[l:l + 1, :] = slots[l]
+    out_ref[l_slots:l_slots + 1, :] = cnt
+
+
+def _cluster_scan(cs: ClusterSet, o_t, d_t, tn, tx, nb, l_slots=L_SLOTS):
+    """Returns (slots (L, N) int32 SUPERCLUSTER ids or -1, count (N,)
+    int32 — exact supercluster hit count per ray)."""
+    c = -(-cs.num_clusters // SC_K)             # superclusters
+    n_lanes = nb * BLOCK_RAYS
+    cb = 128
+    sb = 512                                    # ray lanes per grid step
+    ns = -(-n_lanes // sb) * sb
+    pad = ns - n_lanes
+
+    def lane(v, fill=0.0):
+        return jnp.pad(v[0], (0, pad), constant_values=fill)[None]
+
+    ray = jnp.concatenate(
+        [lane(o_t[0:1]), lane(o_t[1:2]), lane(o_t[2:3]),
+         lane(d_t[0:1], 1.0), lane(d_t[1:2], 1.0), lane(d_t[2:3], 1.0),
+         lane(tn), lane(tx, -jnp.inf)],
+        axis=0,
+    )                                                       # (8, ns)
+    cp = -(-c // cb) * cb
+    # Supercluster AABBs: union of each SC_K consecutive cluster boxes
+    # (pad with empty boxes: lo=+inf/hi=-inf never slab-hit).
+    cpad = c * SC_K - cs.num_clusters
+    lo_p = jnp.pad(cs.aabb_lo, ((0, cpad), (0, 0)),
+                   constant_values=jnp.inf)
+    hi_p = jnp.pad(cs.aabb_hi, ((0, cpad), (0, 0)),
+                   constant_values=-jnp.inf)
+    sc_lo = jnp.min(lo_p.reshape(c, SC_K, 3), axis=1)
+    sc_hi = jnp.max(hi_p.reshape(c, SC_K, 3), axis=1)
+    ab = jnp.concatenate(
+        [sc_lo, sc_hi, jnp.zeros((c, 2), jnp.float32)], axis=1
+    )
+    ab = jnp.pad(ab, ((0, cp - c), (0, 0)))
+    grid = ns // sb
+    out = pl.pallas_call(
+        functools.partial(_cluster_scan_kernel, n_c=cp, n_real=c, cb=cb,
+                          l_slots=l_slots),
+        name="cluster_scan",
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, sb), lambda j: (0, j)),
+            pl.BlockSpec((cp, 8), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((l_slots + 1, sb), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((l_slots + 1, ns), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_interpret(),
+    )(ray, ab)
+    slots = out[:l_slots, :n_lanes]
+    cnt = out[l_slots, :n_lanes]
+    return slots, cnt
+
+
+def _closest_pair_kernel(bids_ref, cids_ref,
+                         o_ref, d_ref, tn_ref, tx_ref, ex_ref, pc_ref,
+                         tri_ref, _alias_ref,
+                         t_out, tri_out, u_out, v_out, touched_out):
+    """Closest-hit tile over PAIR lanes: identical to _closest_kernel
+    except each lane participates only in the work item matching its
+    pair's cluster id (pc_ref)."""
+    w = pl.program_id(0)
+    new_block = jnp.logical_or(
+        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
+    )
+
+    @pl.when(new_block)
+    def _():
+        t_out[0, :] = jnp.full_like(t_out[0, :], jnp.inf)
+        tri_out[0, :] = jnp.full_like(tri_out[0, :], -1)
+        u_out[0, :] = jnp.zeros_like(u_out[0, :])
+        v_out[0, :] = jnp.zeros_like(v_out[0, :])
+        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
+
+    mine = (pc_ref[0, :] == cids_ref[w])[None, :]
+    for r in range(SC_K):
+        tt, uu, vv, valid, ids = _ray_tile_hits(
+            tri_ref[r], o_ref, d_ref, tn_ref, tx_ref, ex_ref
+        )
+        valid = valid & mine
+        tt = jnp.where(valid, tt, jnp.inf)
+        k = jnp.argmin(tt, axis=0)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+               == k[None, :])
+        tile_t = jnp.min(tt, axis=0)
+        tile_tri = jnp.max(
+            jnp.where(sel & valid, jnp.broadcast_to(ids, tt.shape), -1),
+            axis=0,
+        )
+        tile_u = jnp.max(jnp.where(sel, uu, -jnp.inf), axis=0)
+        tile_v = jnp.max(jnp.where(sel, vv, -jnp.inf), axis=0)
+
+        better = tile_t < t_out[0, :]
+        t_out[0, :] = jnp.where(better, tile_t, t_out[0, :])
+        tri_out[0, :] = jnp.where(better, tile_tri, tri_out[0, :])
+        u_out[0, :] = jnp.where(better, tile_u, u_out[0, :])
+        v_out[0, :] = jnp.where(better, tile_v, v_out[0, :])
+
+
+def _anyhit_pair_kernel(bids_ref, cids_ref,
+                        o_ref, d_ref, tn_ref, tx_ref, ex_ref, pc_ref,
+                        tri_ref, _alias_ref,
+                        occ_out, touched_out):
+    w = pl.program_id(0)
+    new_block = jnp.logical_or(
+        w == 0, bids_ref[jnp.maximum(w - 1, 0)] != bids_ref[w]
+    )
+
+    @pl.when(new_block)
+    def _():
+        occ_out[0, :] = jnp.zeros_like(occ_out[0, :])
+        touched_out[0, :] = jnp.ones_like(touched_out[0, :])
+
+    mine = (pc_ref[0, :] == cids_ref[w])[None, :]
+    for r in range(SC_K):
+        _, _, _, valid, _ = _ray_tile_hits(
+            tri_ref[r], o_ref, d_ref, tn_ref, tx_ref, ex_ref
+        )
+        valid = valid & mine
+        occ_out[0, :] = jnp.maximum(
+            occ_out[0, :], jnp.any(valid, axis=0).astype(jnp.float32)
+        )
+
+
+def _pair_round_call(kernel, n_out, bids, cids, o_t, d_t, tn, tx, ex, pc,
+                     tri_pack, n_lanes, work):
+    ray_spec = pl.BlockSpec((3, BLOCK_RAYS), lambda w, b, c: (0, b[w]))
+    lane_spec = pl.BlockSpec((1, BLOCK_RAYS), lambda w, b, c: (0, b[w]))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(work,),
+        in_specs=[
+            ray_spec, ray_spec, lane_spec, lane_spec, lane_spec, lane_spec,
+            pl.BlockSpec((SC_K, 16, tri_pack.shape[2]),
+                         lambda w, b, c: (c[w], 0, 0)),
+            lane_spec,
+        ],
+        out_specs=[lane_spec] * n_out,
+    )
+    out_shape = [jax.ShapeDtypeStruct((1, n_lanes), jnp.float32)
+                 for _ in range(n_out)]
+    if n_out == _OUT_SPECS_CLOSEST:
+        out_shape[1] = jax.ShapeDtypeStruct((1, n_lanes), jnp.int32)
+    zeros = jnp.zeros((1, n_lanes), jnp.float32)
+    # Pad the pack to an SC_K multiple: zero rows decode to degenerate
+    # triangles (det = 0 -> never valid).
+    cpad = -(-tri_pack.shape[0] // SC_K) * SC_K - tri_pack.shape[0]
+    if cpad:
+        tri_pack = jnp.pad(tri_pack, ((0, cpad), (0, 0), (0, 0)))
+    return pl.pallas_call(
+        kernel,
+        name="binned_pair_round",
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={9: n_out - 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(bids, cids, o_t, d_t, tn, tx, ex, pc, tri_pack, zeros)
+
+
+def _pair_work(cid_sorted, np_, c):
+    """Work items from cid-sorted pair lanes: one per (512-pair block,
+    distinct-cid run). Returns (bids, cids, nnz) sorted block-major."""
+    nbp = np_ // BLOCK_RAYS
+    pos = jnp.arange(np_, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), cid_sorted[:-1]])
+    first = ((pos % BLOCK_RAYS) == 0) | (cid_sorted != prev)
+    valid = first & (cid_sorted < c)
+    miss = (~valid).astype(jnp.int32)
+    _, order = jax.lax.sort((miss, pos), num_keys=1)
+    nnz = jnp.sum(valid.astype(jnp.int32))
+    bids = order // BLOCK_RAYS
+    cids = cid_sorted[order]
+    return bids, cids, nnz, nbp
+
+
+def _pair_stream_prep(cs, o_t, d_t, tn, tx, ex, nb):
+    """Scan + pair expansion + cid sort. Returns pair-sorted ray planes,
+    pair cid plane, unsort positions, work list, and the overflow mask."""
+    c = -(-cs.num_clusters // SC_K)             # superclusters
+    n_lanes = nb * BLOCK_RAYS
+    slots, cnt = _cluster_scan(cs, o_t, d_t, tn, tx, nb)
+    overflow = cnt > L_SLOTS
+    # Dead sentinel c sorts live pairs first; overflow rays contribute NO
+    # pairs (they are fully handled by the fallback pass).
+    pair_ok = (slots >= 0) & ~overflow[None, :]
+    cid = jnp.where(pair_ok, slots, c).reshape(-1)           # (L*N,)
+    tile = lambda v: jnp.broadcast_to(v[0][None, :],
+                                      (L_SLOTS, n_lanes)).reshape(-1)
+    pospair = jnp.arange(L_SLOTS * n_lanes, dtype=jnp.int32)
+    (cid_s, o0, o1, o2, d0, d1, d2, tx_s, ex_s, pos_s) = jax.lax.sort(
+        (cid, tile(o_t[0:1]), tile(o_t[1:2]), tile(o_t[2:3]),
+         tile(d_t[0:1]), tile(d_t[1:2]), tile(d_t[2:3]),
+         tile(tx), ex_pair := tile(ex), pospair),
+        num_keys=1,
+    )
+    bids, cids, nnz, nbp = _pair_work(cid_s, L_SLOTS * n_lanes, c)
+    o_p = jnp.stack([o0, o1, o2])
+    d_p = jnp.stack([d0, d1, d2])
+    tn_p = jnp.broadcast_to(tn[0, :1], (L_SLOTS * n_lanes,))[None]
+    # Dead-sentinel lanes must never hit (their block may still be
+    # visited by a work item for a live cid run in the same block).
+    tx_p = jnp.where(cid_s < c, tx_s, -jnp.inf)[None]
+    return (o_p, d_p, tn_p, tx_p, ex_s[None], cid_s[None], pos_s,
+            bids, cids, nnz, nbp, overflow)
+
+
+def trace_closest_pairs(cs: ClusterSet, orig, d, tmin=intersect.T_MIN,
+                        tmax=intersect.T_MAX, exclude=None):
+    """Closest hit via the pair stream (incoherent-ray path). Exact same
+    results as trace_closest_binned (any slab-reachable triangle is
+    tested; overflow rays ride the block path)."""
+    o_t, d_t, tn, tx, ex, n, nb = _prep(orig, d, tmin, tmax, exclude)
+    (o_p, d_p, tn_p, tx_p, ex_p, pc, pos_s, bids, cids, nnz, nbp,
+     overflow) = _pair_stream_prep(cs, o_t, d_t, tn, tx, ex, nb)
+    np_ = o_p.shape[1]
+
+    outs = _pair_rounds(
+        _closest_pair_kernel, _OUT_SPECS_CLOSEST, bids, cids, nnz,
+        o_p, d_p, tn_p, tx_p, ex_p, pc, cs.tri_pack, np_,
+    )
+    t_r, tri_r, u_r, v_r, touched = outs
+    hitm = (touched[0] > 0.0) & (tri_r[0] >= 0)
+    # Unsort by pair position, reduce over slots.
+    (_, t_o, tri_o, u_o, v_o, hit_o) = jax.lax.sort(
+        (pos_s, jnp.where(hitm, t_r[0], jnp.inf), tri_r[0], u_r[0],
+         v_r[0], hitm.astype(jnp.int32)),
+        num_keys=1,
+    )
+    n_lanes = nb * BLOCK_RAYS
+    t_l = t_o.reshape(L_SLOTS, n_lanes)
+    tri_l = tri_o.reshape(L_SLOTS, n_lanes)
+    u_l = u_o.reshape(L_SLOTS, n_lanes)
+    v_l = v_o.reshape(L_SLOTS, n_lanes)
+    hit_l = hit_o.reshape(L_SLOTS, n_lanes) > 0
+    k = jnp.argmin(jnp.where(hit_l, t_l, jnp.inf), axis=0)
+    sel = jax.lax.broadcasted_iota(jnp.int32, t_l.shape, 0) == k[None, :]
+    any_hit = jnp.any(hit_l, axis=0)
+    pick = lambda x: jnp.max(jnp.where(sel, x, -jnp.inf), axis=0)
+    best_t = jnp.where(any_hit, pick(jnp.where(hit_l, t_l, jnp.inf)),
+                       jnp.inf)
+    best_tri = jnp.max(jnp.where(sel & hit_l, tri_l, -1), axis=0)
+    best_u = pick(u_l)
+    best_v = pick(v_l)
+
+    # Fallback: overflow rays through the block-cull path (masked).
+    tx_f = jnp.where(overflow, tx[0], -jnp.inf)
+    fb = trace_closest_binned(
+        cs, jnp.moveaxis(o_t, 0, 1), jnp.moveaxis(d_t, 0, 1),
+        tmin, tx_f, exclude=ex[0], reorder=True,
+    )
+    use_fb = overflow
+    t_fin = jnp.where(use_fb, jnp.where(fb.hit, fb.t, jnp.inf), best_t)
+    tri_fin = jnp.where(use_fb, jnp.where(fb.hit, fb.tri, -1), best_tri)
+    u_fin = jnp.where(use_fb, fb.u, best_u)
+    v_fin = jnp.where(use_fb, fb.v, best_v)
+    return intersect.Hit(
+        t=jnp.where(tri_fin[:n] >= 0, t_fin[:n], jnp.inf),
+        tri=jnp.maximum(tri_fin[:n], 0),
+        u=jnp.where(tri_fin[:n] >= 0, u_fin[:n], 0.0),
+        v=jnp.where(tri_fin[:n] >= 0, v_fin[:n], 0.0),
+        hit=tri_fin[:n] >= 0,
+    )
+
+
+def trace_occluded_pairs(cs: ClusterSet, orig, d, tmax,
+                         tmin=intersect.T_MIN, exclude=None):
+    """Any-hit occlusion via the pair stream."""
+    o_t, d_t, tn, tx, ex, n, nb = _prep(orig, d, tmin, tmax, exclude)
+    (o_p, d_p, tn_p, tx_p, ex_p, pc, pos_s, bids, cids, nnz, nbp,
+     overflow) = _pair_stream_prep(cs, o_t, d_t, tn, tx, ex, nb)
+    np_ = o_p.shape[1]
+
+    occ_r, touched = _pair_rounds(
+        _anyhit_pair_kernel, _OUT_SPECS_ANYHIT, bids, cids, nnz,
+        o_p, d_p, tn_p, tx_p, ex_p, pc, cs.tri_pack, np_,
+    )
+    occ_pair = (touched[0] > 0.0) & (occ_r[0] > 0.0)
+    _, occ_o = jax.lax.sort((pos_s, occ_pair.astype(jnp.int32)), num_keys=1)
+    n_lanes = nb * BLOCK_RAYS
+    occ = jnp.any(occ_o.reshape(L_SLOTS, n_lanes) > 0, axis=0)
+
+    tx_f = jnp.where(overflow, tx[0], -jnp.inf)
+    fb = trace_occluded_binned(
+        cs, jnp.moveaxis(o_t, 0, 1), jnp.moveaxis(d_t, 0, 1),
+        tx_f, tmin, exclude=ex[0], reorder=True,
+    )
+    occ = jnp.where(overflow, fb, occ)
+    return occ[:n]
+
+
+def _pair_rounds(kernel, n_out, bids, cids, nnz, o_p, d_p, tn_p, tx_p,
+                 ex_p, pc, tri_pack, np_, work_chunk=WORK_CHUNK):
+    """Consume the pair work list in fixed-size rounds (mirrors _rounds:
+    padding repeats the last valid item; merges are idempotent)."""
+    work = min(work_chunk, np_ // BLOCK_RAYS + tri_pack.shape[0] + 1)
+    bids_p = jnp.concatenate([bids, jnp.zeros((work,), jnp.int32)])
+    cids_p = jnp.concatenate([cids, jnp.zeros((work,), jnp.int32)])
+    n_lanes = np_
+
+    if n_out == _OUT_SPECS_CLOSEST:
+        init = (
+            jnp.full((n_lanes,), jnp.inf),
+            jnp.full((n_lanes,), -1, jnp.int32),
+            jnp.zeros((n_lanes,)),
+            jnp.zeros((n_lanes,)),
+            jnp.zeros((n_lanes,)),
+        )
+
+        def merge(state, outs):
+            best_t, best_tri, best_u, best_v, touch = state
+            t_r, tri_r, u_r, v_r, touched = outs
+            tm = (touched[0] > 0.0) & (t_r[0] < best_t) & (tri_r[0] >= 0)
+            return (
+                jnp.where(tm, t_r[0], best_t),
+                jnp.where(tm, tri_r[0], best_tri),
+                jnp.where(tm, u_r[0], best_u),
+                jnp.where(tm, v_r[0], best_v),
+                jnp.maximum(touch, touched[0]),
+            )
+    else:
+        init = (jnp.zeros((n_lanes,)), jnp.zeros((n_lanes,)))
+
+        def merge(state, outs):
+            occ_acc, touch = state
+            occ, touched = outs
+            return (
+                jnp.maximum(occ_acc,
+                            jnp.where(touched[0] > 0.0, occ[0], 0.0)),
+                jnp.maximum(touch, touched[0]),
+            )
+
+    def round_body(state):
+        off = state[0]
+        ids_b = jax.lax.dynamic_slice(bids_p, (off,), (work,))
+        ids_c = jax.lax.dynamic_slice(cids_p, (off,), (work,))
+        posw = off + jnp.arange(work, dtype=jnp.int32)
+        last = jnp.minimum(jnp.maximum(nnz - 1 - off, 0), work - 1)
+        last_b = jax.lax.dynamic_index_in_dim(ids_b, last, keepdims=False)
+        last_c = jax.lax.dynamic_index_in_dim(ids_c, last, keepdims=False)
+        ids_b = jnp.where(posw < nnz, ids_b, last_b)
+        ids_c = jnp.where(posw < nnz, ids_c, last_c)
+        outs = _pair_round_call(
+            kernel, n_out, ids_b, ids_c, o_p, d_p, tn_p, tx_p, ex_p, pc,
+            tri_pack, n_lanes, work,
+        )
+        return (off + work,) + merge(state[1:], outs)
+
+    out = jax.lax.while_loop(lambda s: s[0] < nnz, round_body,
+                             (jnp.int32(0),) + init)
+    state = out[1:]
+    if n_out == _OUT_SPECS_CLOSEST:
+        best_t, best_tri, best_u, best_v, touch = state
+        return ([best_t], [best_tri], [best_u], [best_v], [touch])
+    occ_acc, touch = state
+    return ([occ_acc], [touch])

@@ -170,10 +170,17 @@ def _raw_closest(ctx, orig, d, tmin, tmax, coherent=True):
     if ctx.binned is not None:
         from sunray_tpu.ops import binned_trace as binned_mod
 
-        # Always reorder on the binned path: the coherence sort won on
-        # BOTH tested ray classes (82k tris, 2M rays, v5e: bounce rays
-        # 4940 -> 1283 ms, camera rays 352 -> 290 ms, results
-        # bit-identical; examples/bench_binned.py 2026-08-20).
+        # Incoherent batches take the PAIR-STREAM path (per-ray cluster
+        # scan + pair work list — measured 1262 -> 918 ms on 2M bounce
+        # rays at 82k tris, exact vs the block path; round-5 analysis in
+        # docs/PERFORMANCE.md). Coherent batches keep the block-culled
+        # path with the coherence reorder (pairs measured SLOWER there:
+        # 265 -> 587 ms — camera blocks are already tight, and the pair
+        # expansion's sorts dominate).
+        if not coherent:
+            return binned_mod.trace_closest_pairs(
+                ctx.binned, orig, d, tmin, tmax
+            )
         return binned_mod.trace_closest_binned(
             ctx.binned, orig, d, tmin, tmax, reorder=True
         )
@@ -301,10 +308,15 @@ def trace_occluded(ctx: TracerCtx, orig, d, tmax, tmin=intersect.T_MIN,
     if ctx.binned is not None:
         from sunray_tpu.ops import binned_trace as binned_mod
 
-        occ = binned_mod.trace_occluded_binned(
-            ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude,
-            reorder=True,
-        )
+        if not coherent:
+            occ = binned_mod.trace_occluded_pairs(
+                ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude,
+            )
+        else:
+            occ = binned_mod.trace_occluded_binned(
+                ctx.binned, orig, d, tmax - 1e-3, tmin, exclude=exclude,
+                reorder=True,
+            )
     elif ctx.bvh2 is not None:
         from sunray_tpu.ops import bvh2 as bvh2_mod
 

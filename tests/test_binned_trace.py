@@ -352,3 +352,49 @@ class TestReorder:
         # Sorting by key must sort octants into contiguous runs.
         srt = octant[np.argsort(keys)]
         assert (np.diff(srt) >= 0).all()
+
+
+class TestPairStream:
+    """Pair-stream tracing (per-ray cluster scan + pair work list): exact
+    vs the brute oracle, including overflow rays (center rays crossing
+    many superclusters ride the block-path fallback)."""
+
+    def _scene(self):
+        rng = np.random.default_rng(0)
+        t = 2000
+        v0 = jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32))
+        v1 = v0 + 0.3 * jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32))
+        v2 = v0 + 0.3 * jnp.asarray(rng.normal(size=(t, 3)).astype(np.float32))
+        return (v0, v1, v2), bt.build_cluster_set(
+            (v0, v1, v2), k=128)
+
+    def _rays(self, n=2048, center=False, seed=1):
+        rng = np.random.default_rng(seed)
+        scale = 0.1 if center else 2.0
+        o = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)) * scale
+        d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        tmax = jnp.abs(
+            jnp.asarray(rng.normal(size=(n,)).astype(np.float32))) * 4 + 0.5
+        ex = jnp.asarray(rng.integers(-1, 2000, size=n).astype(np.int32))
+        return o, d, tmax, ex
+
+    @pytest.mark.parametrize("center", [False, True])
+    def test_closest_matches_brute(self, center):
+        tris, cs = self._scene()
+        o, d, tmax, _ = self._rays(center=center)
+        ref = intersect.trace_closest_brute(tris, o, d, tmax=tmax)
+        got = bt.trace_closest_pairs(cs, o, d, tmax=tmax)
+        np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+        m = np.asarray(ref.hit)
+        np.testing.assert_array_equal(np.asarray(ref.tri)[m],
+                                      np.asarray(got.tri)[m])
+        np.testing.assert_allclose(np.asarray(ref.t)[m],
+                                   np.asarray(got.t)[m], rtol=1e-5, atol=1e-5)
+
+    def test_occluded_matches_brute_with_exclude(self):
+        tris, cs = self._scene()
+        o, d, tmax, ex = self._rays()
+        ref = intersect.trace_occluded_brute(tris, o, d, tmax, exclude=ex)
+        got = bt.trace_occluded_pairs(cs, o, d, tmax, exclude=ex)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
