@@ -12,6 +12,16 @@ Observed on the 2026-08 toolchain (TPU v5 lite via axon):
      table (256,128)): bare AssertionError in the Mosaic gather lowering
      (dimension_numbers check), no user-actionable message.
 
+Round-5 re-test (2026-08-21): SAME-SHAPE take_along_axis now COMPILES
+AND IS CORRECT in-kernel for BOTH axes (table (8,128), idx (8,128) —
+per-lane dynamic sublane OR lane indexing within a register tile). The
+general forms above still fail, so arbitrary-window per-lane gathers
+must be decomposed into same-shape chunk gathers + selects; the
+perpixel-spatial-taps kernel design sized on top of this lands at
+~70 ms/frame extra at 1080p (61-row-value select per axis), documented
+in docs/ROADMAP.md — better than the ~50x jnp perpixel mode but far
+from shared-tap cost.
+
 Usage: python docs/repros/mosaic_dynamic_vmem_gather.py
 Prints OK for each form that compiles+runs (i.e., the issue is fixed).
 
