@@ -270,9 +270,18 @@ class RenderConfig:
     # the silhouette-edge boundary integral as a zero-forward term
     # (render/boundary.py — the missing term behind the measured AD=0 vs
     # FD+0.67 occlusion envelope). Requires differentiable=True, the
-    # "nee" lighting path, and scene edge topology
-    # (boundary.with_edge_topology). O(P*E*L*quadrature) — CI scenes.
+    # "nee" OR "restir" lighting path (restir: injected at the frozen
+    # first-rough hits — the frame estimates the same NEE area integral),
+    # and scene edge topology (boundary.with_edge_topology).
     shadow_boundary_grads: bool = False
+    # Per-pixel silhouette-candidate pruning (VERDICT r4 item 6): 0 runs
+    # the dense O(P*E*L*S) quadrature over EVERY edge (exact; CI scenes);
+    # K > 0 scores edges per pixel (silhouette class + margin-expanded
+    # projected-inside test) and integrates only the top K — matches the
+    # dense gradient to float precision when no pixel has more than K
+    # active silhouette edges (pinned in tests/test_grads.py; Cornell
+    # needs K >= 8), and drops overflow edges' contribution beyond that.
+    shadow_boundary_candidates: int = 0
 
     # Numerics
     dtype: str = "float32"

@@ -113,7 +113,8 @@ def _tri_corner(w0, w1, w2, tri, k):
 
 
 def nee_boundary_term(scene, lights, tris_w, x, normal, albedo,
-                      nee_mask, quadrature: int = 4):
+                      nee_mask, quadrature: int = 4,
+                      candidates: int = 0):
     """The zero-forward boundary-gradient injection for first-bounce NEE.
 
     scene: SceneBuffers WITH edge topology (with_edge_topology).
@@ -189,14 +190,13 @@ def nee_boundary_term(scene, lights, tris_w, x, normal, albedo,
 
     c_opp1 = sg(opp_corner(t1) - a - b)                   # (E, 3)
     c_opp2 = sg(opp_corner(e_t[:, 1]) - a - b)
-    c_opp = jnp.where(
+    c_opp_pe = jnp.where(
         front1[:, :, None], c_opp1[None, :, :],
         jnp.where((has2[None, :] & front2)[:, :, None],
                   c_opp2[None, :, :], c_opp1[None, :, :]),
     )                                                     # (P, E, 3)
 
     out = jnp.zeros((p, 3), jnp.float32)
-    s_q = (jnp.arange(quadrature, dtype=jnp.float32) + 0.5) / quadrature
 
     lv0 = lights.v0
     lv1 = lights.v1
@@ -205,98 +205,192 @@ def nee_boundary_term(scene, lights, tris_w, x, normal, albedo,
     l_n = lights.num
 
     for li in range(l_n):
-        p0, p1, p2 = lv0[li], lv1[li], lv2[li]
-        nl = jnp.cross(p1 - p0, p2 - p0)
-        nl_u = nl / jnp.maximum(jnp.linalg.norm(nl), 1e-12)
-        em = l_em[li]
-
-        # Quadrature points on every edge: (E, S, 3), differentiable.
-        e_pt = a[:, None, :] + s_q[None, :, None] * (b - a)[:, None, :]
-        d = e_pt[None, :, :, :] - x[:, None, None, :]     # (P, E, S, 3)
-        denom = jnp.sum(d * nl_u[None, None, None, :], -1)
-        cnum = jnp.sum(
-            (p0[None, :] - x)[:, None, None, :]
-            * nl_u[None, None, None, :], -1,
-        )                                                  # (P, 1, 1)-ish
-        t_hit = cnum / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
-        behind = sg(t_hit) <= 1.0 + 1e-6   # edge not between x and plane
-        y = x[:, None, None, :] + t_hit[..., None] * d     # (P, E, S, 3)
-
-        # Inside-light test (stop-grad).
-        ys = sg(y)
-
-        def edge_fn(q0, q1, pt):
-            return jnp.sum(
-                jnp.cross(q1 - q0, pt - q0) * nl_u[None, None, None, :],
-                -1,
+        light = (lv0[li], lv1[li], lv2[li], l_em[li])
+        if candidates and candidates < e_n:
+            # Per-pixel top-K candidate pruning (VERDICT r4 item 6): a
+            # cheap (P, E) viability score — silhouette class, the edge
+            # heading toward the light plane with the plane beyond it,
+            # and a margin-expanded projected-inside test at the edge's
+            # endpoints/midpoint — then K argmax extractions. Selected
+            # edges run the SAME quadrature as the dense path through
+            # per-pixel gathered endpoints (tables are E rows — tiny).
+            # Truncation (a pixel with more than K active silhouette
+            # edges) drops the overflow edges' contribution; equality
+            # with the dense path is pinned for the CI scenes in
+            # tests/test_grads.py::TestBoundaryPruning.
+            score = _candidate_score(
+                xs, a, b, silhouette, light, nee_mask
+            )                                             # (P, E)
+            live = score > 0.0
+            idxs = []
+            for _ in range(candidates):
+                k_idx = jnp.argmax(score, axis=1)         # (P,)
+                idxs.append(k_idx)
+                score = jnp.where(
+                    jax.nn.one_hot(k_idx, e_n, dtype=bool), -1.0, score
+                )
+            n_live = jnp.sum(live, axis=1)                # (P,)
+            for rank, k_idx in enumerate(idxs):
+                sel_ok = nee_mask & (n_live > rank)
+                a_k = jnp.take(a, k_idx, axis=0)          # (P, 3) diff
+                b_k = jnp.take(b, k_idx, axis=0)
+                c_opp_k = jnp.take_along_axis(
+                    c_opp_pe, k_idx[:, None, None], axis=1
+                )[:, 0, :]
+                sil_k = jnp.take_along_axis(
+                    silhouette, k_idx[:, None], axis=1
+                )[:, 0]
+                out = out + _edge_light_quadrature(
+                    x, xs, normal, albedo, (sel_ok & sil_k)[:, None],
+                    a_k[:, None, :], b_k[:, None, :],
+                    c_opp_k[:, None, :], light, quadrature,
+                )
+        else:
+            out = out + _edge_light_quadrature(
+                x, xs, normal, albedo,
+                nee_mask[:, None] & silhouette,
+                jnp.broadcast_to(a[None], (p,) + a.shape),
+                jnp.broadcast_to(b[None], (p,) + b.shape),
+                c_opp_pe, light, quadrature,
             )
 
-        s0 = edge_fn(sg(p0), sg(p1), ys)
-        s1 = edge_fn(sg(p1), sg(p2), ys)
-        s2 = edge_fn(sg(p2), sg(p0), ys)
-        inside = (
-            ((s0 >= 0) & (s1 >= 0) & (s2 >= 0))
-            | ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
-        )
-
-        # Curve tangent dy/ds and in-plane dark-side normal (stop-grad).
-        ab = sg(b - a)[None, :, None, :]
-        dts = (
-            -sg(cnum)[..., None]
-            * jnp.sum(ab * nl_u[None, None, None, :], -1, keepdims=True)
-            / jnp.where(jnp.abs(sg(denom))[..., None] > 1e-9,
-                        sg(denom)[..., None] ** 2, 1e-9)
-        )
-        dy_ds = dts * sg(d) + sg(t_hit)[..., None] * ab    # (P, E, S, 3)
-        n0 = jnp.cross(
-            jnp.broadcast_to(nl_u, dy_ds.shape), dy_ds
-        )
-        n0 = n0 / jnp.maximum(
-            jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-12
-        )
-        # Edge-plane normal (through x, containing the edge) and the
-        # dark-side orientation: +n0 points into the occluded region iff
-        # it is on the same side of the edge plane as the blocking
-        # face's body (see c_opp note above).
-        np_ = jnp.cross(
-            sg(b - a)[None, :, :],
-            xs[:, None, :] - sg(a)[None, :, :],
-        )                                                  # (P, E, 3)
-        face_side = jnp.sum(
-            (c_opp - sg(a)[None, :, :]) * np_, -1
-        )                                                  # (P, E)
-        y_side = jnp.sum(n0 * np_[:, :, None, :], -1)      # (P, E, S)
-        orient = jnp.sign(face_side[:, :, None] * y_side)
-        n_dark = orient[..., None] * n0
-
-        # Diffuse NEE integrand density at y (stop-grad coefficient).
-        dist = jnp.maximum(jnp.linalg.norm(sg(y) - xs[:, None, None, :],
-                                           axis=-1), 1e-4)
-        ldir = (sg(y) - xs[:, None, None, :]) / dist[..., None]
-        cos_s = jnp.maximum(
-            jnp.sum(sg(normal)[:, None, None, :] * ldir, -1), 0.0
-        )
-        cos_l = jnp.maximum(
-            jnp.sum(-ldir * sg(nl_u)[None, None, None, :], -1), 0.0
-        )
-        f_rgb = (
-            sg(em)[None, None, None, :]
-            * sg(albedo)[:, None, None, :] / np.pi
-            * (cos_s * cos_l / (dist * dist))[..., None]
-        )                                                  # (P, E, S, 3)
-
-        dl = jnp.linalg.norm(sg(dy_ds), axis=-1) / quadrature
-
-        valid = (
-            nee_mask[:, None, None]
-            & silhouette[:, :, None]
-            & inside & ~behind
-            & (sg(denom) * sg(cnum) > 0.0)
-            & (cos_s > 0.0) & (cos_l > 0.0)
-        )
-        w_q = jnp.where(valid, dl, 0.0)[..., None] * f_rgb  # (P,E,S,3)
-        # The ONLY non-stop-grad factor: <y(theta), n_dark>.
-        lin = jnp.sum(y * n_dark, -1, keepdims=True)        # (P, E, S, 1)
-        out = out + jnp.sum(w_q * lin, axis=(1, 2))
-
     return out - sg(out)
+
+
+def _candidate_score(xs, a, b, silhouette, light, nee_mask):
+    """(P, E) pruning score: positive iff the edge plausibly crosses the
+    light from x. Conservative-leaning: the projected-inside test is
+    evaluated at the edge endpoints and midpoint with a light-scale
+    margin, so near misses stay candidates; magnitude ranks candidates
+    by projected length / distance (bigger shadows first)."""
+    p0, p1, p2, _ = light
+    nl = jnp.cross(p1 - p0, p2 - p0)
+    nl_u = sg(nl / jnp.maximum(jnp.linalg.norm(nl), 1e-12))
+    scale = sg(jnp.maximum(
+        jnp.maximum(jnp.linalg.norm(p1 - p0), jnp.linalg.norm(p2 - p1)),
+        jnp.linalg.norm(p0 - p2),
+    ))
+    cnum = jnp.sum((sg(p0)[None, :] - xs) * nl_u[None, :], -1)   # (P,)
+
+    def project_ok(pt):                                   # pt (E, 3)
+        d = sg(pt)[None, :, :] - xs[:, None, :]           # (P, E, 3)
+        denom = jnp.sum(d * nl_u[None, None, :], -1)
+        heading = denom * cnum[:, None] > 0.0
+        t_hit = cnum[:, None] / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9)
+        between = t_hit > 1.0 + 1e-6
+        y = xs[:, None, :] + t_hit[..., None] * d
+        # Distance from y to the light triangle's plane-projected AABB,
+        # with a `scale` margin.
+        lo = sg(jnp.minimum(jnp.minimum(p0, p1), p2))[None, None, :]
+        hi = sg(jnp.maximum(jnp.maximum(p0, p1), p2))[None, None, :]
+        near = jnp.all(
+            (y > lo - scale * 0.6) & (y < hi + scale * 0.6), axis=-1
+        )
+        return heading & between & near
+
+    mid = sg(0.5 * (a + b))
+    ok = project_ok(sg(a)) | project_ok(sg(b)) | project_ok(mid)
+    dist = jnp.maximum(
+        jnp.linalg.norm(mid[None, :, :] - xs[:, None, :], axis=-1), 1e-3
+    )
+    elen = sg(jnp.linalg.norm(b - a, axis=-1))
+    score = (elen[None, :] / dist) * 1.0
+    return jnp.where(
+        ok & silhouette & nee_mask[:, None], score, 0.0
+    )
+
+
+def _edge_light_quadrature(x, xs, normal, albedo, valid_pe, a_pe, b_pe,
+                           c_opp_pe, light, quadrature):
+    """The boundary-integral quadrature for per-pixel edge sets.
+
+    a_pe/b_pe: (P, E', 3) DIFFERENTIABLE edge endpoints (E' = all edges
+    broadcast, or K pruned candidates); c_opp_pe (P, E', 3) stop-grad
+    side reference; valid_pe (P, E') classification mask. Returns (P, 3)
+    (zero-forward injection happens in the caller)."""
+    p0, p1, p2, em = light
+    nl = jnp.cross(p1 - p0, p2 - p0)
+    nl_u = nl / jnp.maximum(jnp.linalg.norm(nl), 1e-12)
+    s_q = (jnp.arange(quadrature, dtype=jnp.float32) + 0.5) / quadrature
+
+    a = a_pe
+    b = b_pe
+    # Quadrature points on every edge: (P, E', S, 3), differentiable.
+    e_pt = a[:, :, None, :] + s_q[None, None, :, None] * (
+        (b - a)[:, :, None, :])
+    d = e_pt - x[:, None, None, :]                        # (P, E', S, 3)
+    denom = jnp.sum(d * nl_u[None, None, None, :], -1)
+    cnum = jnp.sum(
+        (p0[None, :] - x)[:, None, None, :] * nl_u[None, None, None, :],
+        -1,
+    )
+    t_hit = cnum / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    behind = sg(t_hit) <= 1.0 + 1e-6       # edge not between x and plane
+    y = x[:, None, None, :] + t_hit[..., None] * d        # (P, E', S, 3)
+
+    # Inside-light test (stop-grad).
+    ys = sg(y)
+
+    def edge_fn(q0, q1, pt):
+        return jnp.sum(
+            jnp.cross(q1 - q0, pt - q0) * nl_u[None, None, None, :], -1
+        )
+
+    s0 = edge_fn(sg(p0), sg(p1), ys)
+    s1 = edge_fn(sg(p1), sg(p2), ys)
+    s2 = edge_fn(sg(p2), sg(p0), ys)
+    inside = (
+        ((s0 >= 0) & (s1 >= 0) & (s2 >= 0))
+        | ((s0 <= 0) & (s1 <= 0) & (s2 <= 0))
+    )
+
+    # Curve tangent dy/ds and in-plane dark-side normal (stop-grad).
+    ab = sg(b - a)[:, :, None, :]
+    dts = (
+        -sg(cnum)[..., None]
+        * jnp.sum(ab * nl_u[None, None, None, :], -1, keepdims=True)
+        / jnp.where(jnp.abs(sg(denom))[..., None] > 1e-9,
+                    sg(denom)[..., None] ** 2, 1e-9)
+    )
+    dy_ds = dts * sg(d) + sg(t_hit)[..., None] * ab       # (P, E', S, 3)
+    n0 = jnp.cross(jnp.broadcast_to(nl_u, dy_ds.shape), dy_ds)
+    n0 = n0 / jnp.maximum(
+        jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-12
+    )
+    # Edge-plane normal (through x, containing the edge) and the
+    # dark-side orientation (see the caller's c_opp note).
+    np_ = jnp.cross(
+        sg(b - a), xs[:, None, :] - sg(a)
+    )                                                     # (P, E', 3)
+    face_side = jnp.sum((c_opp_pe - sg(a)) * np_, -1)     # (P, E')
+    y_side = jnp.sum(n0 * np_[:, :, None, :], -1)         # (P, E', S)
+    orient = jnp.sign(face_side[:, :, None] * y_side)
+    n_dark = orient[..., None] * n0
+
+    # Diffuse NEE integrand density at y (stop-grad coefficient).
+    dist = jnp.maximum(
+        jnp.linalg.norm(sg(y) - xs[:, None, None, :], axis=-1), 1e-4)
+    ldir = (sg(y) - xs[:, None, None, :]) / dist[..., None]
+    cos_s = jnp.maximum(
+        jnp.sum(sg(normal)[:, None, None, :] * ldir, -1), 0.0)
+    cos_l = jnp.maximum(
+        jnp.sum(-ldir * sg(nl_u)[None, None, None, :], -1), 0.0)
+    f_rgb = (
+        sg(em)[None, None, None, :]
+        * sg(albedo)[:, None, None, :] / np.pi
+        * (cos_s * cos_l / (dist * dist))[..., None]
+    )                                                     # (P, E', S, 3)
+
+    dl = jnp.linalg.norm(sg(dy_ds), axis=-1) / quadrature
+
+    valid = (
+        valid_pe[:, :, None]
+        & inside & ~behind
+        & (sg(denom) * sg(cnum) > 0.0)
+        & (cos_s > 0.0) & (cos_l > 0.0)
+    )
+    w_q = jnp.where(valid, dl, 0.0)[..., None] * f_rgb    # (P, E', S, 3)
+    # The ONLY non-stop-grad factor: <y(theta), n_dark>.
+    lin = jnp.sum(y * n_dark, -1, keepdims=True)          # (P, E', S, 1)
+    return jnp.sum(w_q * lin, axis=(1, 2))

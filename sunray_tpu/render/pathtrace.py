@@ -264,6 +264,7 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
                 bterm = boundary.nee_boundary_term(
                     scene, lights, scene.world_triangle_vertices(),
                     surf.pos, surf.normal, surf.albedo, nee_lane,
+                    candidates=cfg.shadow_boundary_candidates,
                 )
                 radiance = radiance + bterm * jax.lax.stop_gradient(
                     throughput
@@ -367,6 +368,28 @@ def final_pass(scene, cfg, tracer, lights, mats, gbuf,
             scene, cfg, tracer, lights, mats, gbuf, r_di, r_gi,
             seed, c, cam_origin, frame_count, grid=grid,
         )
+        if cfg.shadow_boundary_grads and cfg.differentiable and grid is None:
+            # Visibility-boundary gradients for the ReSTIR DI estimator
+            # (VERDICT r4 item 6): the frame estimates the same NEE area
+            # integral the boundary term differentiates, so the zero-
+            # forward silhouette-edge injection applies at the frozen
+            # first-rough hits with the path throughput (diffuse
+            # integrand; the specular share of the boundary remains
+            # out of scope, docs/PARITY.md).
+            from sunray_tpu.render import boundary
+
+            assert scene.edge_tri is not None, (
+                "cfg.shadow_boundary_grads needs scene edge topology — "
+                "build the scene through boundary.with_edge_topology"
+            )
+            bterm = boundary.nee_boundary_term(
+                scene, lights, scene.world_triangle_vertices(),
+                c["f_pos"], c["f_normal"], c["f_albedo"], c["pending"],
+                candidates=cfg.shadow_boundary_candidates,
+            )
+            radiance = radiance + bterm * jax.lax.stop_gradient(
+                c["f_throughput"]
+            )
 
     # total_radiance = min(radiance, 10) (ray_gen_final.slang:430-431).
     return jnp.minimum(radiance, cfg.radiance_clamp), c["i"]

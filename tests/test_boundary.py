@@ -244,3 +244,55 @@ class TestBoundaryEstimator:
         )
         assert abs(fd) > 0.02, fd
         np.testing.assert_allclose(g_ad, fd, rtol=0.20)
+
+
+class TestCandidatePruning:
+    """Top-K silhouette-candidate pruning (cfg.shadow_boundary_candidates)
+    must reproduce the dense quadrature's gradient to float precision
+    when K covers every active silhouette edge."""
+
+    def test_pruned_matches_dense_gradient(self):
+        import numpy as np
+
+        from sunray_tpu.render import boundary, restir
+        from sunray_tpu.scene import cornell_box
+
+        scene = boundary.with_edge_topology(cornell_box())
+        rng = np.random.default_rng(0)
+        p = 256
+        x0 = jnp.asarray(rng.uniform(0.2, 1.8, size=(p, 3)).astype(np.float32))
+        x0 = x0.at[:, 1].set(0.01)
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (p, 3))
+        alb = jnp.full((p, 3), 0.7)
+        mask = jnp.ones((p,), bool)
+
+        def grad_of(cands):
+            def loss(dp):
+                sc = scene.replace(positions=scene.positions + dp)
+                t = boundary.nee_boundary_term(
+                    sc, restir.Lights(sc), sc.world_triangle_vertices(),
+                    x0, nrm, alb, mask, candidates=cands)
+                return jnp.sum(t)
+            return np.asarray(jax.grad(loss)(
+                jnp.zeros_like(scene.positions)))
+
+        gd = grad_of(0)
+        gp = grad_of(8)
+        scale = np.abs(gd).max()
+        assert scale > 1.0  # the term actually has gradient signal
+        np.testing.assert_allclose(gp, gd, atol=1e-5 * scale)
+
+    def test_forward_stays_zero(self):
+        import numpy as np
+
+        from sunray_tpu.render import boundary, restir
+        from sunray_tpu.scene import cornell_box
+
+        scene = boundary.with_edge_topology(cornell_box())
+        x0 = jnp.asarray([[1.0, 0.01, 1.0]] * 8)
+        nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (8, 3))
+        t = boundary.nee_boundary_term(
+            scene, restir.Lights(scene), scene.world_triangle_vertices(),
+            x0, nrm, jnp.full((8, 3), 0.7), jnp.ones((8,), bool),
+            candidates=8)
+        np.testing.assert_array_equal(np.asarray(t), 0.0)
