@@ -205,68 +205,90 @@ def _grad_bench(small: bool):
 
 
 def _reflroom_bench(small: bool):
-    """Textured glTF metric: ReflectionRoom.glb (the reference's own golden
-    asset + camera, examples/png/main.rs:43-61), full ReSTIR pipeline at
-    1080p, two-level BLAS/TLAS tracer (ops/bvh2.py — the scene is 6
-    instances of small meshes, bvh2's regime; the default auto policy takes
-    brute below 4096 world tris, so the backend under measurement is
-    pinned explicitly and recorded in exec_paths)."""
+    """Textured glTF metrics: ReflectionRoom.glb (the reference's own
+    golden asset + camera, examples/png/main.rs:43-61), full ReSTIR
+    pipeline. Two lines: the 1080p AUTO-path frame (what a user gets —
+    the auto policy picks the brute Pallas tracer below 4096 world
+    tris), and a 480x270 frame PINNED to the two-level BLAS/TLAS tracer
+    (ops/bvh2.py) as a backend canary — the round-5 TLAS denormal-flush
+    bug rendered silently black at full speed, so this line carries
+    `ldr_mean`; bvh2's ~5 us/ray gather-bound walk makes 1080p
+    unbenchable in the driver budget (measured 6.4 s/frame at 480x270).
+    """
     glb = "/root/reference/examples/assets/ReflectionRoom.glb"
     if not os.path.exists(glb):
         return None
     from sunray_tpu.ops.bvh2 import build_blas_set
     from sunray_tpu.scene.gltf import load_gltf
 
-    w, h = (480, 270) if small else (1920, 1080)
-    cfg = RenderConfig(width=w, height=h, lighting="restir", tracer="bvh2")
     scene = load_gltf(glb)
-    accel = build_blas_set(scene, leaf_size=cfg.bvh_leaf_size)
     cam = Camera(position=(13.0, 30.0, 25.0), target=(0.0, 13.0, 0.0),
                  fov_y=45.0)
-    mats = camera_matrices(cam, w, h)
-    state = RenderState.create(cfg)
-    step = jax.jit(
-        lambda st: render_frame(scene, cfg, st, mats, accel),
-        donate_argnums=(0,),
-    )
-    n_warm, n_bench = 5, 10
-    t0 = time.time()
-    aux = None
-    for _ in range(n_warm):
-        state, ldr, aux = step(state)
-    jax.block_until_ready(ldr)
-    compile_and_warm = time.time() - t0
-    t0 = time.time()
-    for _ in range(n_bench):
-        state, ldr, aux = step(state)
-    jax.block_until_ready(ldr)
-    dt = (time.time() - t0) / n_bench
 
-    ris_rounds = int(aux["ris_rounds"])
-    final_rounds = int(aux["final_rounds"])
-    p = w * h
-    rays_per_frame = p * (
-        ris_rounds + 3 + max(final_rounds - 1, 0) + 2
-        + cfg.gi_spatial_samples
-    )
-    return {
-        "metric": "rays_per_sec_reflroom_glb_1080p_bvh2",
-        "value": round(rays_per_frame / dt / 1e6, 3),
-        "unit": "Mray/s",
-        "vs_baseline": round(rays_per_frame / dt / 1e8, 4),
-        "detail": {
-            "frame_ms": round(dt * 1e3, 2),
-            "rays_per_frame": rays_per_frame,
-            "ris_rounds": ris_rounds,
-            "final_rounds": final_rounds,
-            "resolution": f"{w}x{h}",
-            "num_tris": int(scene.num_tris),
-            "num_instances": int(scene.inst_prim.shape[0]),
-            "textured": True,
-            "warmup_s": round(compile_and_warm, 1),
-            "exec_paths": exec_paths(cfg, scene.num_lights),
-        },
+    def one(w, h, tracer, n_warm, n_bench, name):
+        cfg = RenderConfig(width=w, height=h, lighting="restir",
+                           tracer=tracer)
+        accel = (build_blas_set(scene, leaf_size=cfg.bvh_leaf_size)
+                 if tracer == "bvh2" else None)
+        mats = camera_matrices(cam, w, h)
+        state = RenderState.create(cfg)
+        step = jax.jit(
+            lambda st: render_frame(scene, cfg, st, mats, accel),
+            donate_argnums=(0,),
+        )
+        t0 = time.time()
+        aux = None
+        for _ in range(n_warm):
+            state, ldr, aux = step(state)
+        jax.block_until_ready(ldr)
+        compile_and_warm = time.time() - t0
+        t0 = time.time()
+        for _ in range(n_bench):
+            state, ldr, aux = step(state)
+        jax.block_until_ready(ldr)
+        dt = (time.time() - t0) / n_bench
+
+        ris_rounds = int(aux["ris_rounds"])
+        final_rounds = int(aux["final_rounds"])
+        rays_per_frame = w * h * (
+            ris_rounds + 3 + max(final_rounds - 1, 0) + 2
+            + cfg.gi_spatial_samples
+        )
+        return {
+            "metric": name,
+            "value": round(rays_per_frame / dt / 1e6, 3),
+            "unit": "Mray/s",
+            "vs_baseline": round(rays_per_frame / dt / 1e8, 4),
+            "detail": {
+                "frame_ms": round(dt * 1e3, 2),
+                "rays_per_frame": rays_per_frame,
+                "ris_rounds": ris_rounds,
+                "final_rounds": final_rounds,
+                "resolution": f"{w}x{h}",
+                "num_tris": int(scene.num_tris),
+                "num_instances": int(scene.inst_prim.shape[0]),
+                "textured": True,
+                # Image-mean canary: the TLAS denormal-flush bug rendered
+                # silently BLACK frames at full speed — a throughput
+                # metric alone cannot see that class.
+                "ldr_mean": round(float(jnp.mean(ldr)), 5),
+                "warmup_s": round(compile_and_warm, 1),
+                "exec_paths": exec_paths(cfg, scene.num_lights),
+            },
+        }
+
+    if small:
+        main_line = one(480, 270, "auto", 3, 5,
+                        "rays_per_sec_reflroom_glb_1080p_auto")
+    else:
+        main_line = one(1920, 1080, "auto", 3, 8,
+                        "rays_per_sec_reflroom_glb_1080p_auto")
+    canary = one(480, 270, "bvh2", 2, 3,
+                 "rays_per_sec_reflroom_glb_480p_bvh2")
+    main_line["detail"]["bvh2_canary"] = {
+        k: canary[k] for k in ("metric", "value", "unit", "detail")
     }
+    return main_line
 
 
 def main():

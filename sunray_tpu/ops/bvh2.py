@@ -411,19 +411,29 @@ def build_frame_tlas(blas: BlasSet, scene) -> Tlas2:
     el, il = enc(child_l)
     er, ir = enc(child_r)
 
-    def bitc(x):
-        return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    # DENORMAL HAZARD (measured: silent black frames on TPU): small int
+    # ids bitcast to f32 are denormals, and the in-jit concat assembling
+    # the rows fuses through TPU float registers, which FLUSH them to
+    # zero — every TLAS child id became node 0 (the eager load-time BLAS
+    # pack was unaffected; only this per-frame jit assembly fused).
+    # Assemble the table in int32 (bit-exact data movement) and
+    # reinterpret ONCE at the end.
+    def f2i(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    tlas_rows = jnp.concatenate(
+    tlas_rows_i = jnp.concatenate(
         [
-            bitc(el)[:, None], bitc(er)[:, None],
-            bitc(il)[:, None], bitc(ir)[:, None],
-            node_min[child_l], node_max[child_l],
-            node_min[child_r], node_max[child_r],
+            el.astype(jnp.int32)[:, None], er.astype(jnp.int32)[:, None],
+            il.astype(jnp.int32)[:, None], ir.astype(jnp.int32)[:, None],
+            f2i(node_min[child_l]), f2i(node_max[child_l]),
+            f2i(node_min[child_r]), f2i(node_max[child_r]),
         ],
         axis=1,
     )
-    node_pack = jnp.concatenate([blas.node_pack, tlas_rows], axis=0)
+    node_pack = jax.lax.bitcast_convert_type(
+        jnp.concatenate([f2i(blas.node_pack), tlas_rows_i], axis=0),
+        jnp.float32,
+    )
     return Tlas2(
         node_pack=node_pack,
         leaf_pack=blas.leaf_pack,

@@ -43,6 +43,7 @@ def exec_paths(cfg, num_lights: int, backend: str | None = None) -> dict:
     )
     return {
         "backend": backend,
+        "tracer": cfg.tracer,
         "num_lights": num_lights,
         "exact_fetch_max_lights": kernel_max_lights(),
         "differentiable": cfg.differentiable,
