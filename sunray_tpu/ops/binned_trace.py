@@ -135,10 +135,19 @@ def _pack_clusters(v0, v1, v2, ids, c, k):
     vcat = jnp.concatenate([v0, v1, v2], axis=1)           # (T, 9)
     rows = vcat[gid]                                       # ONE row gather
     cols = [rows[:, a] for a in range(9)]
-    cols.append(jax.lax.bitcast_convert_type(ids, jnp.float32))
-    comp = [x.reshape(c, k) for x in cols]                 # 10 x (C, K)
-    zero = jnp.zeros((c, k), jnp.float32)
-    pack = jnp.stack(comp + [zero] * 6, axis=1)            # (C, 16, K)
+    comp = [x.reshape(c, k) for x in cols]                 # 9 x (C, K)
+    # DENORMAL-SAFE pack assembly: small int ids bitcast to f32 are
+    # denormals, and in-jit float assembly can flush them to zero on TPU
+    # (the class that silently blacked out the bvh2 TLAS, round 5) —
+    # stack everything as int32 bit patterns and reinterpret ONCE.
+    def f2i(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    comp_i = [f2i(x) for x in comp] + [ids.reshape(c, k)]
+    zero_i = jnp.zeros((c, k), jnp.int32)
+    pack = jax.lax.bitcast_convert_type(
+        jnp.stack(comp_i + [zero_i] * 6, axis=1), jnp.float32
+    )                                                      # (C, 16, K)
     lo = [jnp.min(jnp.minimum(jnp.minimum(comp[a], comp[3 + a]),
                               comp[6 + a]), axis=1) for a in range(3)]
     hi = [jnp.max(jnp.maximum(jnp.maximum(comp[a], comp[3 + a]),

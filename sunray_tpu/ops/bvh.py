@@ -331,30 +331,42 @@ def _pack_tables(bvh: Bvh, tris):
     v0, v1, v2 = tris
     nl = bvh.num_leaves
     f32 = jnp.float32
+    # DENORMAL-SAFE assembly (the bvh2-TLAS silent-black class, round 5):
+    # int ids bitcast to f32 are denormals that in-jit float assembly can
+    # flush to zero on TPU — build the tables as int32 bit patterns and
+    # reinterpret ONCE.
+    def f2i(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
     if nl > 1:
         cl = bvh.child_l
         cr = bvh.child_r
-        node_pack = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(cl, f32)[:, None],
-                jax.lax.bitcast_convert_type(cr, f32)[:, None],
-                bvh.node_min[cl], bvh.node_max[cl],
-                bvh.node_min[cr], bvh.node_max[cr],
-                jnp.zeros((cl.shape[0], 2), f32),
-            ],
-            axis=1,
+        node_pack = jax.lax.bitcast_convert_type(
+            jnp.concatenate(
+                [
+                    cl[:, None], cr[:, None],
+                    f2i(bvh.node_min[cl]), f2i(bvh.node_max[cl]),
+                    f2i(bvh.node_min[cr]), f2i(bvh.node_max[cr]),
+                    jnp.zeros((cl.shape[0], 2), jnp.int32),
+                ],
+                axis=1,
+            ),
+            f32,
         )
     else:
         node_pack = jnp.zeros((1, 16), f32)
 
     ids = bvh.leaf_tri                      # (NL, K)
     gids = jnp.maximum(ids, 0)
-    lp = jnp.concatenate(
-        [
-            v0[gids], v1[gids], v2[gids],
-            jax.lax.bitcast_convert_type(ids, f32)[:, :, None],
-        ],
-        axis=2,
+    lp = jax.lax.bitcast_convert_type(
+        jnp.concatenate(
+            [
+                f2i(v0[gids]), f2i(v1[gids]), f2i(v2[gids]),
+                ids[:, :, None],
+            ],
+            axis=2,
+        ),
+        f32,
     )                                        # (NL, K, 10)
     leaf_pack = lp.reshape(nl, -1)
     return node_pack, leaf_pack
