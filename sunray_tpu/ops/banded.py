@@ -199,7 +199,33 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         fits4 = ((dyr >= -1) & (dyr <= 0) & (dxr >= -1)
                  & (dxr <= 0)).astype(jnp.float32)
         retention4 = jnp.sum(fits4 * wts) / den
+        # Identity rung (round 5): a STATIC camera (mean motion exactly
+        # zero AND zero-residual retention) needs no data movement at
+        # all — the gathered rows ARE the table. The zero-residual
+        # branch below still paid the bitcast + dynamic roll + select
+        # pipeline (~5 full-table passes) to realize a g=0 roll.
+        # Semantics identical: served lanes have idx == lane exactly.
+        ident = ((dy == 0) & (dx == 0))
         return jax.lax.cond(
+            (retention0 >= min_retention) & (gy == 0.0) & (gx == 0.0),
+            lambda: (table, ident),
+            lambda: _auto_ladder_rest(
+                table, idx, width, band, halo, radius, min_retention,
+                valid, retention0, retention4, retention),
+        )
+    return jax.lax.cond(
+        retention >= min_retention,
+        lambda: shift_row_gather(table, idx, width, radius, radius,
+                                 force=True, global_motion=global_motion,
+                                 valid=valid),
+        lambda: banded_row_gather(table, idx, width, band, halo, force=True,
+                                  layout="rows"),
+    )
+
+
+def _auto_ladder_rest(table, idx, width, band, halo, radius, min_retention,
+                      valid, retention0, retention4, retention):
+    return jax.lax.cond(
             retention0 >= min_retention,
             lambda: shift_row_gather(table, idx, width, 0, 0,
                                      force=True, global_motion=True,
@@ -221,14 +247,6 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
                 ),
             ),
         )
-    return jax.lax.cond(
-        retention >= min_retention,
-        lambda: shift_row_gather(table, idx, width, radius, radius,
-                                 force=True, global_motion=global_motion,
-                                 valid=valid),
-        lambda: banded_row_gather(table, idx, width, band, halo, force=True,
-                                  layout="rows"),
-    )
 
 
 def _window_spec(idx, width, valid, global_motion):
