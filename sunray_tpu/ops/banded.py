@@ -206,12 +206,23 @@ def auto_row_gather(table, idx, width, band=DEFAULT_BAND, halo=DEFAULT_HALO,
         # pipeline (~5 full-table passes) to realize a g=0 roll.
         # Semantics identical: served lanes have idx == lane exactly.
         ident = ((dy == 0) & (dx == 0))
+        static_cam = (gy == 0.0) & (gx == 0.0)
         return jax.lax.cond(
-            (retention0 >= min_retention) & (gy == 0.0) & (gx == 0.0),
+            (retention0 >= min_retention) & static_cam,
             lambda: (table, ident),
-            lambda: _auto_ladder_rest(
-                table, idx, width, band, halo, radius, min_retention,
-                valid, retention0, retention4, retention),
+            lambda: jax.lax.cond(
+                # Static camera + jittered reprojection (the DI/GI
+                # temporal reads): the 4-tap window with NO global roll —
+                # the g=0 dynamic roll was a full-table copy per read.
+                (retention4 >= min_retention) & static_cam,
+                lambda: shift_row_gather(table, idx, width, 1, 1,
+                                         force=True, global_motion=False,
+                                         valid=valid,
+                                         window=(-1, 0, -1, 0)),
+                lambda: _auto_ladder_rest(
+                    table, idx, width, band, halo, radius, min_retention,
+                    valid, retention0, retention4, retention),
+            ),
         )
     return jax.lax.cond(
         retention >= min_retention,
