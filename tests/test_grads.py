@@ -362,15 +362,21 @@ class TestRestirBoundaryMatched:
         k_frames = 16
 
         def render_k(dx):
+            # lax.scan over frames: the 16x-unrolled grad program took
+            # ~45 min of CPU XLA compile; one scanned frame body
+            # compiles in minutes with identical numerics (the frame
+            # seeds from state.frame_count, which the scan carries).
             p = jnp.asarray(pos0).at[jnp.asarray(box_verts), 0].add(dx)
             sc = scene.replace(positions=p)
-            acc = 0.0
-            st = RenderState.create(cfg)
-            aux = None
-            for _ in range(k_frames):
+            st0 = RenderState.create(cfg)
+
+            def body(st, _):
                 st, _, aux = render_frame(sc, cfg, st, mats)
-                acc = acc + aux["raw"]
-            return acc / k_frames, aux
+                return st, aux["raw"]
+
+            _, raws = jax.lax.scan(body, st0, None, length=k_frames)
+            _, _, aux = render_frame(sc, cfg, st0, mats)
+            return jnp.mean(raws, axis=0), aux
 
         _, aux0 = jax.jit(lambda: render_k(0.0))()
         floor = np.asarray(aux0["normal"])[..., 1] > 0.9
